@@ -1,0 +1,138 @@
+"""Benchmark: SDXL-class UNet train step on the attached TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metric: SDXL 1024px train-step MFU per chip (BASELINE.json north-star ≥0.40).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+PEAK_FLOPS = {
+    # per-chip peak bf16 FLOP/s
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def guess_peak(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for k, v in PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return v
+    return 197e12
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from neurosis_tpu.models.unet import UNetModel
+
+    on_tpu = jax.default_backend() == "tpu"
+    # 1024px-class: 128x128 latents. Batch sized for a single v5e chip.
+    batch, res = (1, 128) if on_tpu else (1, 16)
+
+    model = UNetModel(
+        in_channels=4,
+        model_channels=320,
+        out_channels=4,
+        num_res_blocks=2,
+        attention_resolutions=[4, 2],
+        channel_mult=[1, 2, 4],
+        num_head_channels=64,
+        transformer_depth=[1, 2, 10] if on_tpu else [1, 1, 1],
+        context_dim=2048,
+        num_classes="sequential",
+        adm_in_channels=2816,
+        use_linear_in_transformer=True,
+        use_checkpoint=True,
+        dtype=jnp.bfloat16,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((batch, res, res, 4), jnp.bfloat16)
+    t = jnp.ones((batch,), jnp.float32) * 500.0
+    ctx = jnp.zeros((batch, 77, 2048), jnp.bfloat16)
+    y = jnp.zeros((batch, 2816), jnp.bfloat16)
+
+    shapes = jax.eval_shape(lambda: model.init(rng, x, t, ctx, y=y))["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(rng, len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [jax.random.normal(k, s.shape, s.dtype) * 0.02 for k, s in zip(keys, leaves)],
+    )
+
+    opt = optax.adafactor(1e-5)
+    opt_state = jax.jit(opt.init)(params)
+
+    def loss_fn(p, x, t, ctx, y, noise):
+        out = model.apply({"params": p}, x + noise, t, ctx, y=y, deterministic=False)
+        return jnp.mean(jnp.square(out.astype(jnp.float32) - noise.astype(jnp.float32)))
+
+    @jax.jit
+    def train_step(p, opt_state, x, t, ctx, y, key):
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, t, ctx, y, noise)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        return p, opt_state, loss
+
+    # warmup/compile
+    key = jax.random.PRNGKey(1)
+    params, opt_state, loss = train_step(params, opt_state, x, t, ctx, y, key)
+    jax.block_until_ready(loss)
+
+    # fwd-only FLOPs from the compiler, per step
+    fwd = jax.jit(lambda p: model.apply({"params": p}, x, t, ctx, y=y))
+    try:
+        cost = fwd.lower(params).compile().cost_analysis()
+        fwd_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        fwd_flops = 0.0
+
+    iters = 10 if on_tpu else 2
+    start = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss = train_step(params, opt_state, x, t, ctx, y, jax.random.fold_in(key, i))
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - start) / iters
+
+    steps_per_sec = 1.0 / dt
+    # train ≈ 3x forward FLOPs (+1 remat forward when checkpointing ≈ 4x)
+    step_flops = 4.0 * fwd_flops if fwd_flops else 0.0
+    peak = guess_peak(jax.devices()[0])
+    mfu = step_flops * steps_per_sec / peak if step_flops else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "sdxl_1024px_train_mfu"
+                if on_tpu
+                else "sdxl_tiny_train_steps_per_sec_cpu",
+                "value": round(mfu, 4) if on_tpu else round(steps_per_sec, 4),
+                "unit": "mfu" if on_tpu else "steps/s",
+                "vs_baseline": round(mfu / 0.40, 4) if on_tpu else 0.0,
+                "detail": {
+                    "steps_per_sec": round(steps_per_sec, 4),
+                    "fwd_gflops": round(fwd_flops / 1e9, 1),
+                    "device": str(jax.devices()[0].device_kind),
+                    "batch": batch,
+                    "latent_res": res,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

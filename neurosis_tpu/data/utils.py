@@ -1,0 +1,137 @@
+"""Dataset utilities: PIL crops with coord capture, tag cleaning, numpy collate.
+
+Parity: dataset/utils.py:36-191 (pil_crop_square/random/bucket return
+(image, (top, left)); collate stacks tensors and byte-encodes strings). Torch
+tensors are replaced by numpy NHWC arrays — the train loop device_puts them.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+
+def pil_ensure_rgb(image) -> "object":
+    from PIL import Image
+
+    if image.mode not in ("RGB", "RGBA"):
+        image = image.convert("RGBA") if "transparency" in image.info else image.convert("RGB")
+    if image.mode == "RGBA":
+        from PIL import Image as _I
+
+        canvas = _I.new("RGBA", image.size, (255, 255, 255))
+        canvas.alpha_composite(image)
+        image = canvas.convert("RGB")
+    return image
+
+
+def pil_crop_square(image, size, resampling=None, rng: Optional[np.random.Generator] = None):
+    from PIL import Image, ImageOps
+
+    resampling = resampling or Image.Resampling.BICUBIC
+    rng = rng or np.random.default_rng()
+    if isinstance(size, int):
+        size = (size, size)
+    image = ImageOps.cover(image, size, method=resampling)
+    min_edge = min(image.size)
+    delta_w, delta_h = image.size[0] - min_edge, image.size[1] - min_edge
+    if all((delta_w, delta_h)):
+        raise ValueError(f"Failed to crop short edge to match {size}!")
+    top = int(rng.integers(delta_h + 1))
+    left = int(rng.integers(delta_w + 1))
+    image = image.crop((left, top, left + size[0], top + size[1]))
+    return image, (top, left)
+
+
+def pil_crop_bucket(image, bucket, resampling=None, rng: Optional[np.random.Generator] = None):
+    """Cover-resize to the bucket then random-crop the long edge; returns
+    (image, (top, left)) for SDXL crop conditioning (dataset/utils.py:103-125)."""
+    from PIL import Image, ImageOps
+
+    resampling = resampling or Image.Resampling.BICUBIC
+    rng = rng or np.random.default_rng()
+    image = ImageOps.cover(image, bucket.size, method=resampling)
+    width, height = image.size
+    delta_w = width - bucket.width
+    delta_h = height - bucket.height
+    if delta_w != 0 and delta_h != 0:
+        raise ValueError(f"Failed to crop short edge to match {bucket}!")
+    if delta_w == 0 and delta_h == 0:
+        return image, (0, 0)
+    top = int(rng.integers(delta_h + 1))
+    left = int(rng.integers(delta_w + 1))
+    image = image.crop((left, top, left + bucket.width, top + bucket.height))
+    return image, (top, left)
+
+
+def load_bucket_image_file(path, bucket, resampling=None, rng=None):
+    from PIL import Image
+
+    if isinstance(path, bytes):
+        path = path.decode("utf-8")
+    image = pil_ensure_rgb(Image.open(Path(path)))
+    return pil_crop_bucket(image, bucket, resampling, rng)
+
+
+def load_crop_image_file(path, resolution, resampling=None, rng=None):
+    from PIL import Image
+
+    if isinstance(path, bytes):
+        path = path.decode("utf-8")
+    image = pil_ensure_rgb(Image.open(Path(path)))
+    return pil_crop_square(image, resolution, resampling, rng)
+
+
+def image_to_array(image) -> np.ndarray:
+    """PIL RGB → float32 NHWC in [-1, 1] (base.py default transforms parity:
+    ToImage → scale to [0,1] → Normalize(.5,.5))."""
+    arr = np.asarray(image, dtype=np.float32) / 255.0
+    return arr * 2.0 - 1.0
+
+
+def clean_word(word_sep: str, word: Union[str, bytes]) -> str:
+    if isinstance(word, (bytes, np.bytes_)):
+        word = word.decode("utf-8")
+    return word.replace("_", word_sep).replace(" ", word_sep).strip()
+
+
+def clean_caption(
+    caption: str,
+    process_tags: bool = True,
+    shuffle_tags: bool = False,
+    shuffle_keep: int = 0,
+    tag_sep: str = ", ",
+    word_sep: str = " ",
+    rng: Optional[np.random.Generator] = None,
+) -> str:
+    """Tag clean/shuffle (imagefolder/aspect.py:129-144)."""
+    if not process_tags:
+        return caption.strip()
+    rng = rng or np.random.default_rng()
+    tags = [clean_word(word_sep, x) for x in caption.split(", ")]
+    if shuffle_tags:
+        if shuffle_keep > 0:
+            tags = tags[:shuffle_keep] + [tags[shuffle_keep:][i] for i in rng.permutation(len(tags) - shuffle_keep)]
+        else:
+            tags = [tags[i] for i in rng.permutation(len(tags))]
+    return tag_sep.join(tags).strip()
+
+
+def collate_dict_stack(samples: Sequence[dict]) -> dict:
+    """list-of-dicts → dict of stacked numpy arrays / string lists
+    (dataset/utils.py:150-191 contract, numpy edition)."""
+    out: dict = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        v0 = vals[0]
+        if isinstance(v0, np.ndarray):
+            out[key] = np.stack(vals, axis=0)
+        elif isinstance(v0, (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals)
+        elif isinstance(v0, (tuple, list)) and v0 and isinstance(v0[0], (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals, dtype=np.float32)
+        else:
+            out[key] = list(vals)
+    return out

@@ -1,0 +1,159 @@
+"""Common NN building blocks (TPU-native, NHWC layout).
+
+Behavioral parity targets (reference, for formula/shape contracts only):
+  - timestep_embedding: modules/diffusion/util.py:152-178
+  - Upsample/Downsample: modules/diffusion/openaimodel.py:96-199
+
+Design notes (TPU-first):
+  - All image tensors are NHWC (XLA's native conv layout on TPU); the torch
+    reference is NCHW. Weight import transposes accordingly.
+  - Norms compute in float32 regardless of the activation dtype (bf16-safe),
+    then cast back — the XLA fuser folds the casts into neighbouring ops.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+
+def timestep_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    max_period: int = 10000,
+    repeat_only: bool = False,
+) -> jax.Array:
+    """Sinusoidal timestep embedding, [N] -> [N, dim]; cos-first ordering.
+
+    Parity: modules/diffusion/util.py:152-178 (exp(-log(max_period)*i/half)).
+    Always computed in float32 (frequencies underflow in bf16).
+    """
+    if repeat_only:
+        return jnp.broadcast_to(timesteps.astype(jnp.float32)[:, None], (timesteps.shape[0], dim))
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in fp32 (matches torch GroupNorm numerics under AMP).
+
+    The reference uses nn.GroupNorm(32, ch) with eps=1e-5 (UNet) or 1e-6 (VAE /
+    SpatialTransformer input norm).
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x)
+        return out.astype(orig_dtype)
+
+
+def nearest_upsample_2x(x: jax.Array) -> jax.Array:
+    """NHWC nearest-neighbour 2x upsample (== F.interpolate(mode='nearest'))."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class Conv2d(nn.Module):
+    """3x3/1x1/kxk NHWC conv with torch-style explicit padding."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: Optional[int] = None  # default: kernel_size // 2
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pad = self.padding if self.padding is not None else self.kernel_size // 2
+        kernel_init = nn.initializers.zeros_init() if self.zero_init else nn.initializers.lecun_normal()
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=kernel_init,
+            bias_init=nn.initializers.zeros_init(),
+        )(x)
+
+
+class Dense(nn.Module):
+    """Linear layer; zero_init for reference zero_module() parity."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel_init = nn.initializers.zeros_init() if self.zero_init else nn.initializers.lecun_normal()
+        return nn.Dense(
+            features=self.features,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=kernel_init,
+            bias_init=nn.initializers.zeros_init(),
+        )(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x upsample + optional 3x3 conv (openaimodel.py:96-143)."""
+
+    channels: int
+    use_conv: bool
+    out_channels: Optional[int] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert x.shape[-1] == self.channels
+        x = nearest_upsample_2x(x)
+        if self.use_conv:
+            x = Conv2d(self.out_channels or self.channels, 3, dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv or 2x2 avg-pool (openaimodel.py:146-199)."""
+
+    channels: int
+    use_conv: bool
+    out_channels: Optional[int] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert x.shape[-1] == self.channels
+        if self.use_conv:
+            return Conv2d(self.out_channels or self.channels, 3, stride=2, padding=1, dtype=self.dtype, name="op")(x)
+        assert (self.out_channels or self.channels) == self.channels
+        return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2))

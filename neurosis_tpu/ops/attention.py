@@ -1,0 +1,70 @@
+"""Scaled dot-product attention dispatch.
+
+The reference picks between torch SDPA / xformers CUDA kernels at module-build
+time (modules/attention.py:421-425, 187-258). Here the equivalent choice is:
+
+  - TPU: a Pallas flash-attention kernel (ops/flash_attention.py) for long
+    sequences, XLA fused attention otherwise;
+  - CPU (tests): plain jnp reference path — XLA fuses it adequately.
+
+All paths are numerically the standard softmax(q·kᵀ/√d)·v — the backend is a
+performance choice only, so tests run the jnp path and TPU runs Pallas.
+
+Layout: [B, H, S, D] (batch, heads, seq, head_dim) like torch SDPA.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Sequence-length threshold above which the Pallas kernel wins over XLA's
+# unfused path (short cross-attn sequences (77 tokens) don't benefit).
+_PALLAS_MIN_SEQ = 512
+
+
+def _xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Reference attention; softmax statistics in fp32 for bf16 stability."""
+    d = q.shape[-1]
+    scale = 1.0 / (d**0.5)
+    logits = jnp.einsum("bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhst,bhtd->bhsd", weights, v)
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("NEUROSIS_DISABLE_PALLAS", "").lower() in ("1", "true"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@functools.partial(jax.named_call, name="sdpa")
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """softmax(q kᵀ / sqrt(d)) v over [B, H, S, D] tensors."""
+    if _use_pallas() and mask is None and q.shape[-2] >= _PALLAS_MIN_SEQ:
+        from .flash_attention import flash_attention
+
+        try:
+            return flash_attention(q, k, v)
+        except Exception:  # pragma: no cover - kernel unsupported shape fallback
+            pass
+    return _xla_attention(q, k, v, mask)

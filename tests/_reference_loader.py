@@ -62,3 +62,38 @@ def load_reference_math():
         "modules/diffusion/sampling/sigma_generators.py",
     )
     return precond, weighting, discret, sigma_gen
+
+
+def load_reference_unet():
+    """Load the reference UNetModel (modules/diffusion/openaimodel.py) standalone."""
+    import torch
+
+    pkg_stub = sys.modules.get("neurosis") or types.ModuleType("neurosis")
+    pkg_stub.__path__ = [str(REF_SRC)]
+    sys.modules.setdefault("neurosis", pkg_stub)
+    if "neurosis.modules" not in sys.modules:
+        mods_pkg = types.ModuleType("neurosis.modules")
+        mods_pkg.__path__ = [str(REF_SRC / "modules")]
+        sys.modules["neurosis.modules"] = mods_pkg
+    if "neurosis.modules.diffusion" not in sys.modules:
+        diff_pkg = types.ModuleType("neurosis.modules.diffusion")
+        diff_pkg.__path__ = [str(REF_SRC / "modules/diffusion")]
+        sys.modules["neurosis.modules.diffusion"] = diff_pkg
+    if "neurosis.modules.diffusion.util" not in sys.modules:
+        _load("neurosis.modules.diffusion.util", "modules/diffusion/util.py")
+    if "neurosis.modules.attention" not in sys.modules:
+        _load("neurosis.modules.attention", "modules/attention.py")
+    om = _load("neurosis.modules.diffusion.openaimodel", "modules/diffusion/openaimodel.py")
+    return om
+
+
+def load_reference_vae():
+    """Load the reference VAE Encoder/Decoder (modules/diffusion/model.py) standalone."""
+    load_reference_unet()  # sets up package stubs + attention
+    if "neurosis.modules.layers" not in sys.modules:
+        _load("neurosis.modules.layers", "modules/layers.py")
+    if "neurosis.modules.distributions" not in sys.modules:
+        _load("neurosis.modules.distributions", "modules/distributions.py")
+    if "neurosis.modules.regularizers" not in sys.modules:
+        _load("neurosis.modules.regularizers", "modules/regularizers.py")
+    return _load("neurosis.modules.diffusion.model", "modules/diffusion/model.py")

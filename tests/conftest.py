@@ -6,16 +6,21 @@ sharding tests run on 8 virtual CPU devices.
 
 import os
 
+# NOTE: in this environment the 'axon' TPU plugin IGNORES the JAX_PLATFORMS env
+# var — the config flag is the only thing that actually forces CPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Golden parity tests need full-fp32 matmuls (default is bf16-class on MXU).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture(scope="session")
 def rng_key():
-    import jax
-
     return jax.random.PRNGKey(0)

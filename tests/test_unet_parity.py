@@ -1,0 +1,87 @@
+"""Golden parity: Flax UNetModel vs reference torch UNetModel on shared weights.
+
+Covers SD1.5-style (no classes, conv proj, num_heads) and SDXL-style
+(sequential ADM labels, linear proj, num_head_channels) tiny configs.
+"""
+
+import numpy as np
+import pytest
+
+from _reference_loader import load_reference_unet
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from neurosis_tpu.checkpoint import import_torch_params  # noqa: E402
+from neurosis_tpu.models.unet import UNetModel  # noqa: E402
+
+TINY_SD15 = dict(
+    in_channels=4,
+    model_channels=32,
+    out_channels=4,
+    num_res_blocks=1,
+    attention_resolutions=[1, 2],
+    channel_mult=[1, 2],
+    num_heads=2,
+    transformer_depth=1,
+    context_dim=24,
+    use_linear_in_transformer=False,
+)
+
+TINY_SDXL = dict(
+    in_channels=4,
+    model_channels=32,
+    out_channels=4,
+    num_res_blocks=2,
+    attention_resolutions=[2],
+    channel_mult=[1, 2],
+    num_head_channels=16,
+    transformer_depth=[1, 2],
+    context_dim=24,
+    use_linear_in_transformer=True,
+    num_classes="sequential",
+    adm_in_channels=8,
+)
+
+
+@pytest.mark.parametrize("cfg_name", ["sd15", "sdxl"])
+def test_unet_output_parity(cfg_name):
+    import torch
+
+    cfg = dict(TINY_SD15 if cfg_name == "sd15" else TINY_SDXL)
+    om = load_reference_unet()
+
+    torch.manual_seed(0)
+    # the reference's vanilla "softmax" CrossAttention has a `context or x`
+    # tensor-truthiness bug; real configs use xformers/torch-sdp. Use torch-sdp.
+    ref = om.UNetModel(**cfg, use_checkpoint=False, spatial_transformer_attn_type="torch-sdp")
+    ref.eval()
+
+    model = UNetModel(**cfg, use_checkpoint=False)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 4, 16, 16).astype(np.float32)
+    t = np.array([10.0, 500.0], dtype=np.float32)
+    ctx = rng.randn(2, 7, 24).astype(np.float32)
+    y = rng.randn(2, 8).astype(np.float32) if cfg_name == "sdxl" else None
+
+    with torch.no_grad():
+        args = [torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(ctx)]
+        if y is not None:
+            args.append(torch.from_numpy(y))
+        ref_out = ref(*args).numpy()
+
+    # eval_shape gives the param template without compute (1-core CPU: eager
+    # init takes minutes; eval_shape is pure tracing)
+    init_args = (jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t), jnp.asarray(ctx))
+    init_kwargs = {"y": jnp.asarray(y)} if y is not None else {}
+    variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *init_args, **init_kwargs))
+    state_dict = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params, missing, unexpected = import_torch_params(variables["params"], state_dict)
+    assert not missing, f"missing keys: {missing[:10]}"
+    assert not unexpected, f"unexpected keys: {unexpected[:10]}"
+
+    out = jax.jit(model.apply)({"params": params}, *init_args, **init_kwargs)
+    out_nchw = np.asarray(out).transpose(0, 3, 1, 2)
+
+    np.testing.assert_allclose(out_nchw, ref_out, atol=2e-4, rtol=2e-3)

@@ -31,7 +31,16 @@ def guess_peak(device) -> float:
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # persistent compile cache: repeated bench runs skip the (slow) compile
+    cache_dir = os.path.expanduser("~/.cache/neurosis_tpu_xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     import jax.numpy as jnp
     import optax
 
@@ -87,18 +96,17 @@ def main() -> None:
         p = optax.apply_updates(p, updates)
         return p, opt_state, loss
 
-    # warmup/compile
+    # single lowering: compile once, read step FLOPs off the same executable
     key = jax.random.PRNGKey(1)
+    lowered = train_step.lower(params, opt_state, x, t, ctx, y, key)
+    compiled = lowered.compile()
+    try:
+        cost = compiled.cost_analysis()
+        step_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        step_flops = 0.0
     params, opt_state, loss = train_step(params, opt_state, x, t, ctx, y, key)
     jax.block_until_ready(loss)
-
-    # fwd-only FLOPs from the compiler, per step
-    fwd = jax.jit(lambda p: model.apply({"params": p}, x, t, ctx, y=y))
-    try:
-        cost = fwd.lower(params).compile().cost_analysis()
-        fwd_flops = float(cost.get("flops", 0.0))
-    except Exception:
-        fwd_flops = 0.0
 
     iters = 10 if on_tpu else 2
     start = time.perf_counter()
@@ -108,8 +116,6 @@ def main() -> None:
     dt = (time.perf_counter() - start) / iters
 
     steps_per_sec = 1.0 / dt
-    # train ≈ 3x forward FLOPs (+1 remat forward when checkpointing ≈ 4x)
-    step_flops = 4.0 * fwd_flops if fwd_flops else 0.0
     peak = guess_peak(jax.devices()[0])
     mfu = step_flops * steps_per_sec / peak if step_flops else 0.0
 
@@ -124,7 +130,7 @@ def main() -> None:
                 "vs_baseline": round(mfu / 0.40, 4) if on_tpu else 0.0,
                 "detail": {
                     "steps_per_sec": round(steps_per_sec, 4),
-                    "fwd_gflops": round(fwd_flops / 1e9, 1),
+                    "step_gflops": round(step_flops / 1e9, 1),
                     "device": str(jax.devices()[0].device_kind),
                     "batch": batch,
                     "latent_res": res,

@@ -1,0 +1,185 @@
+"""class_path registry — resolves reference-style dotted names to our components.
+
+The contract (SURVEY.md §5.6): consume the same YAML shape as the reference
+(`class_path`/`init_args`), so `neurosis.modules.diffusion.UNetModel` must
+resolve to our Flax UNetModel, etc. Unknown paths fall back to a real import
+(so `neurosis_tpu.*`, `optax.*`, stdlib paths work directly).
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Any, Callable, Dict
+
+REGISTRY: Dict[str, Any] = {}
+
+
+def register(*names: str):
+    def deco(obj):
+        for n in names:
+            REGISTRY[n] = obj
+        return obj
+
+    return deco
+
+
+def _populate():
+    """Lazy mapping of reference class paths → our components."""
+    from neurosis_tpu.data.aspect import AspectBucketList, SDXLBucketList, WDXLBucketList, WDXLBucketList2
+    from neurosis_tpu.data.imagefolder import FolderSquareDataset, FolderVAEDataset, ImageFolderDataset
+    from neurosis_tpu.diffusion import (
+        DiscreteDenoiser,
+        Denoiser,
+        DiscreteSigmaGenerator,
+        CosineScheduleSigmaGenerator,
+        TanScheduleSigmaGenerator,
+        EDMSigmaGenerator,
+        EDMcDiscretization,
+        EDMcSimpleDiscretization,
+        EDMDiscretization,
+        EDMPreconditioning,
+        EDMWeighting,
+        EpsPreconditioning,
+        EpsWeighting,
+        LegacyDDPMDiscretization,
+        MinSNRGammaModifier,
+        RectifiedFlowComfyDiscretization,
+        RectifiedFlowComfyPreconditioning,
+        RectifiedFlowComfySigmaGenerator,
+        RectifiedFlowComfyWeighting,
+        RectifiedFlowDiscretization,
+        RectifiedFlowSigmaGenerator,
+        RectifiedFlowWeighting,
+        RectifiedFlowXLPreconditioning,
+        StandardDiffusionLoss,
+        TanZeroSNRDiscretization,
+        UnitWeighting,
+        VPreconditioning,
+        VPreconditioningWithEDMcNoise,
+    )
+    from neurosis_tpu.losses.vae_loss import AutoencoderLPIPSWithDiscr, AutoencoderPerceptual
+    from neurosis_tpu.models.unet import UNetModel
+    from neurosis_tpu.models.vae import Decoder, Encoder
+    from neurosis_tpu.modules.encoders import (
+        ConcatTimestepEmbedderND,
+        FrozenCLIPEmbedder,
+        FrozenOpenCLIPEmbedder2,
+        GeneralConditioner,
+        IdentityEncoder,
+    )
+    from neurosis_tpu.optimizers import Adafactor, came
+    from neurosis_tpu.sampling import (
+        DPMPP2MSampler,
+        DPMPP2SAncestralSampler,
+        EulerAncestralSampler,
+        EulerEDMSampler,
+        HeunEDMSampler,
+        IdentityGuider,
+        LinearMultistepSampler,
+        VanillaCFG,
+    )
+    import neurosis_tpu.schedulers as schedulers
+
+    mapping = {
+        # models / engines (engine assembly handled by trainer.builder)
+        "neurosis.modules.diffusion.UNetModel": UNetModel,
+        "neurosis.modules.diffusion.openaimodel.UNetModel": UNetModel,
+        "neurosis.modules.diffusion.model.Encoder": Encoder,
+        "neurosis.modules.diffusion.model.Decoder": Decoder,
+        # diffusion math
+        "neurosis.modules.diffusion.Denoiser": Denoiser,
+        "neurosis.modules.diffusion.DiscreteDenoiser": DiscreteDenoiser,
+        "neurosis.modules.diffusion.EpsPreconditioning": EpsPreconditioning,
+        "neurosis.modules.diffusion.VPreconditioning": VPreconditioning,
+        "neurosis.modules.diffusion.VPreconditioningWithEDMcNoise": VPreconditioningWithEDMcNoise,
+        "neurosis.modules.diffusion.EDMPreconditioning": EDMPreconditioning,
+        "neurosis.modules.diffusion.RectifiedFlowXLPreconditioning": RectifiedFlowXLPreconditioning,
+        "neurosis.modules.diffusion.RectifiedFlowComfyPreconditioning": RectifiedFlowComfyPreconditioning,
+        "neurosis.modules.diffusion.UnitWeighting": UnitWeighting,
+        "neurosis.modules.diffusion.EpsWeighting": EpsWeighting,
+        "neurosis.modules.diffusion.EDMWeighting": EDMWeighting,
+        "neurosis.modules.diffusion.RectifiedFlowWeighting": RectifiedFlowWeighting,
+        "neurosis.modules.diffusion.RectifiedFlowComfyWeighting": RectifiedFlowComfyWeighting,
+        "neurosis.modules.diffusion.MinSNRGammaModifier": MinSNRGammaModifier,
+        "neurosis.modules.diffusion.LegacyDDPMDiscretization": LegacyDDPMDiscretization,
+        "neurosis.modules.diffusion.EDMcDiscretization": EDMcDiscretization,
+        "neurosis.modules.diffusion.EDMcSimpleDiscretization": EDMcSimpleDiscretization,
+        "neurosis.modules.diffusion.EDMDiscretization": EDMDiscretization,
+        "neurosis.modules.diffusion.TanZeroSNRDiscretization": TanZeroSNRDiscretization,
+        "neurosis.modules.diffusion.RectifiedFlowDiscretization": RectifiedFlowDiscretization,
+        "neurosis.modules.diffusion.RectifiedFlowComfyDiscretization": RectifiedFlowComfyDiscretization,
+        "neurosis.modules.diffusion.StandardDiffusionLoss": StandardDiffusionLoss,
+        "neurosis.modules.diffusion.sigma_sampling.DiscreteSampling": DiscreteSigmaGenerator,
+        "neurosis.modules.diffusion.sigma_sampling.EDMSampling": EDMSigmaGenerator,
+        "neurosis.modules.diffusion.sampling.sigma_generators.DiscreteSigmaGenerator": DiscreteSigmaGenerator,
+        "neurosis.modules.diffusion.sampling.sigma_generators.EDMSigmaGenerator": EDMSigmaGenerator,
+        "neurosis.modules.diffusion.sampling.sigma_generators.CosineScheduleSigmaGenerator": CosineScheduleSigmaGenerator,
+        "neurosis.modules.diffusion.sampling.sigma_generators.TanScheduleSigmaGenerator": TanScheduleSigmaGenerator,
+        "neurosis.modules.diffusion.sampling.sigma_generators.RectifiedFlowSigmaGenerator": RectifiedFlowSigmaGenerator,
+        "neurosis.modules.diffusion.sampling.sigma_generators.RectifiedFlowComfySigmaGenerator": RectifiedFlowComfySigmaGenerator,
+        # samplers / guiders
+        "neurosis.modules.diffusion.sampling.EulerEDMSampler": EulerEDMSampler,
+        "neurosis.modules.diffusion.sampling.HeunEDMSampler": HeunEDMSampler,
+        "neurosis.modules.diffusion.sampling.EulerAncestralSampler": EulerAncestralSampler,
+        "neurosis.modules.diffusion.sampling.DPMPP2SAncestralSampler": DPMPP2SAncestralSampler,
+        "neurosis.modules.diffusion.sampling.DPMPP2MSampler": DPMPP2MSampler,
+        "neurosis.modules.diffusion.sampling.LinearMultistepSampler": LinearMultistepSampler,
+        "neurosis.modules.guidance.VanillaCFG": VanillaCFG,
+        "neurosis.modules.guidance.IdentityGuider": IdentityGuider,
+        # conditioner
+        "neurosis.modules.encoders.GeneralConditioner": GeneralConditioner,
+        "neurosis.models.text_encoder.FrozenCLIPEmbedder": FrozenCLIPEmbedder,
+        "neurosis.models.text_encoder.FrozenOpenCLIPEmbedder2": FrozenOpenCLIPEmbedder2,
+        "neurosis.modules.encoders.metadata.ConcatTimestepEmbedderND": ConcatTimestepEmbedderND,
+        "neurosis.modules.encoders.misc.IdentityEncoder": IdentityEncoder,
+        # losses
+        "neurosis.modules.autoencoding.losses.AutoencoderPerceptual": AutoencoderPerceptual,
+        "neurosis.modules.autoencoding.losses.AutoencoderLPIPSWithDiscr": AutoencoderLPIPSWithDiscr,
+        # data
+        "neurosis.dataset.aspect.AspectBucketList": AspectBucketList,
+        "neurosis.dataset.aspect.SDXLBucketList": SDXLBucketList,
+        "neurosis.dataset.aspect.WDXLBucketList": WDXLBucketList,
+        "neurosis.dataset.aspect.WDXLBucketList2": WDXLBucketList2,
+        "neurosis.dataset.imagefolder.ImageFolderDataset": ImageFolderDataset,
+        "neurosis.dataset.imagefolder.ImageFolderModule": ImageFolderDataset,
+        "neurosis.dataset.imagefolder.FolderSquareDataset": FolderSquareDataset,
+        "neurosis.dataset.imagefolder.FolderSquareModule": FolderSquareDataset,
+        "neurosis.dataset.imagefolder.FolderVAEDataset": FolderVAEDataset,
+        "neurosis.dataset.imagefolder.FolderVAEModule": FolderVAEDataset,
+        # optimizers / schedulers
+        "neurosis.optimizers.Adafactor": Adafactor,
+        "neurosis.optimizers.CAME": came,
+        "neurosis.optimizers.came.CAME": came,
+        "neurosis.schedulers.CosineWithWarmUp": schedulers.cosine_with_warmup,
+        "neurosis.schedulers.CosineWithHardRestartsAndWarmUp": schedulers.cosine_with_hard_restarts,
+        "neurosis.schedulers.LambdaWarmUpCosineScheduler2": schedulers.lambda_warmup_cosine_scheduler2,
+        "neurosis.schedulers.LambdaLinearScheduler": schedulers.lambda_linear_scheduler,
+        "neurosis.schedulers.CosineAnnealingWarmupRestarts": schedulers.cosine_annealing_warmup_restarts,
+        "neurosis.schedulers.CosineDecayWithWarmup": schedulers.cosine_decay_with_warmup,
+        "neurosis.schedulers.CosineWarmupSchedule": schedulers.cosine_warmup_schedule,
+        "neurosis.schedulers.LinearWarmupSchedule": schedulers.linear_warmup_schedule,
+    }
+    REGISTRY.update({k: v for k, v in mapping.items() if k not in REGISTRY})
+
+
+def resolve_class_path(path: str) -> Any:
+    if not REGISTRY:
+        _populate()
+    if path in REGISTRY:
+        return REGISTRY[path]
+    # torch.optim/bitsandbytes class paths → reasonable optax equivalents
+    _TORCH_OPT = {
+        "torch.optim.AdamW": "adamw",
+        "torch.optim.Adam": "adam",
+        "torch.optim.SGD": "sgd",
+        "bitsandbytes.optim.AdamW8bit": "adamw",
+    }
+    if path in _TORCH_OPT:
+        import optax
+
+        return getattr(optax, _TORCH_OPT[path])
+    module, _, name = path.rpartition(".")
+    try:
+        return getattr(importlib.import_module(module), name)
+    except (ImportError, AttributeError) as e:
+        raise ImportError(f"cannot resolve class_path {path!r}: {e}") from e

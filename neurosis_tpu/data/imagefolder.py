@@ -175,6 +175,7 @@ class FolderSquareDataset:
         self,
         folder,
         resolution: int = 256,
+        batch_size: int = 1,
         image_key: str = "image",
         caption_key: str = "caption",
         caption_ext: str = ".txt",
@@ -188,6 +189,7 @@ class FolderSquareDataset:
     ):
         self.folder = Path(folder).resolve()
         self.resolution = resolution
+        self.batch_size = batch_size
         self.image_key = image_key
         self.caption_key = caption_key
         self.caption_ext = caption_ext
@@ -223,6 +225,11 @@ class FolderSquareDataset:
 
     def get_batch(self, indices: Sequence[int]) -> dict:
         return collate_dict_stack([self[i] for i in indices])
+
+    def get_batch_iterator(self) -> Generator[list[int], None, None]:
+        order = self.rng.permutation(len(self.paths))
+        for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
+            yield [int(j) for j in order[i : i + self.batch_size]]
 
 
 class FolderVAEDataset(FolderSquareDataset):

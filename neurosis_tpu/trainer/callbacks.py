@@ -1,0 +1,178 @@
+"""Trainer callbacks (parity: trainer/callbacks/* — SURVEY.md §2.9, §5).
+
+Hooks: on_fit_start(trainer, state), on_train_batch_end(trainer, state, frozen,
+batch, metrics, step), on_fit_end(trainer, state).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from enum import Enum
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class StepType(str, Enum):
+    """Cadence source (trainer/common.py:10-34)."""
+
+    global_step = "global_step"
+    batch_idx = "batch_idx"
+    global_batch = "global_batch"
+    sample_idx = "sample_idx"
+
+
+class EMATracker:
+    """Scalar loss smoothing (trainer/util.py:59)."""
+
+    def __init__(self, steps: int = 64):
+        self.alpha = 2.0 / (steps + 1)
+        self.value: Optional[float] = None
+
+    def update(self, v: float) -> float:
+        self.value = v if self.value is None else self.alpha * v + (1 - self.alpha) * self.value
+        return self.value
+
+
+class ImageLogger:
+    """Periodic sample-grid logging (trainer/callbacks/image_logger.py:26-420).
+
+    Saves local PNGs per split; samples via engine.sampler with CFG (cond/uncond
+    from the batch), decodes with the frozen VAE.
+    """
+
+    def __init__(
+        self,
+        every_n_train_steps: int = 100,
+        max_images: int = 4,
+        num_steps: Optional[int] = None,
+        log_before_start: bool = False,
+        split: str = "train",
+    ):
+        self.every_n = every_n_train_steps
+        self.max_images = max_images
+        self.num_steps = num_steps
+        self.log_before_start = log_before_start
+        self.split = split
+        self._sample_fn = None
+
+    def on_train_batch_end(self, trainer, state, frozen, batch, metrics, step: int):
+        if step % self.every_n != 0 and not (self.log_before_start and step == 1):
+            return
+        try:
+            self._log_images(trainer, state, frozen, batch, step)
+        except Exception:
+            logger.exception("image logging failed")
+
+    def _log_images(self, trainer, state, frozen, batch, step: int):
+        from neurosis_tpu.utils.image import save_image_grid
+
+        engine = trainer.engine
+        if engine.sampler is None or engine.first_stage is None:
+            return
+        prepped = trainer.prepare_batch(batch)
+        n = self.max_images
+        prepped = {k: v[:n] if hasattr(v, "__getitem__") and not isinstance(v, str) else v for k, v in prepped.items()}
+
+        params = {"params": trainer.engine._merged_cond_params(state.params, frozen)}
+        c, uc = engine.conditioner.get_unconditional_conditioning(params, prepped)
+
+        img = prepped[engine.input_key]
+        shape = (img.shape[0], img.shape[1] // 8, img.shape[2] // 8, engine.model.in_channels)
+        rng = jax.random.PRNGKey(step)
+        latents = engine.sample(state.params, frozen, c, uc, rng, shape)
+        decoded = engine.decode_first_stage(frozen, latents)
+
+        captions = batch.get(trainer.caption_key)
+        out_dir = Path(trainer.root_dir) / "images" / self.split
+        save_image_grid(
+            [np.asarray(decoded[i]) for i in range(decoded.shape[0])],
+            out_dir / f"samples_gs-{step:06d}.png",
+            captions=list(captions[: decoded.shape[0]]) if captions is not None else None,
+            label=f"step {step}",
+        )
+        save_image_grid(
+            [np.asarray(img[i]) for i in range(min(n, img.shape[0]))],
+            out_dir / f"inputs_gs-{step:06d}.png",
+            label=f"step {step}",
+        )
+        logger.info(f"logged sample images at step {step} → {out_dir}")
+
+
+class CheckpointCallback:
+    """Orbax state checkpointing (ModelCheckpoint + BlobCheckpointIO roles)."""
+
+    def __init__(self, dirpath: Optional[str] = None, every_n_train_steps: int = 1000, keep: int = 3):
+        self.dirpath = dirpath
+        self.every_n = every_n_train_steps
+        self.keep = keep
+        self._mgr = None
+
+    def _manager(self, trainer):
+        if self._mgr is None:
+            import orbax.checkpoint as ocp
+
+            path = Path(self.dirpath or (Path(trainer.root_dir) / "checkpoints")).absolute()
+            path.mkdir(parents=True, exist_ok=True)
+            self._mgr = ocp.CheckpointManager(
+                path, options=ocp.CheckpointManagerOptions(max_to_keep=self.keep)
+            )
+        return self._mgr
+
+    def on_train_batch_end(self, trainer, state, frozen, batch, metrics, step: int):
+        if step % self.every_n != 0:
+            return
+        import orbax.checkpoint as ocp
+
+        mgr = self._manager(trainer)
+        mgr.save(step, args=ocp.args.StandardSave({"params": state.params, "step": int(state.step)}))
+        logger.info(f"saved checkpoint at step {step}")
+
+    def on_fit_end(self, trainer, state):
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()
+
+
+class DeviceStatsCallback:
+    """Device memory logging (GPUMemoryUsage parity — trainer/callbacks/stats.py:78-118)."""
+
+    def __init__(self, every_n_train_steps: int = 100):
+        self.every_n = every_n_train_steps
+
+    def on_train_batch_end(self, trainer, state, frozen, batch, metrics, step: int):
+        if step % self.every_n != 0:
+            return
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            used = stats.get("bytes_in_use", 0) / 2**30
+            limit = stats.get("bytes_limit", 0) / 2**30
+            trainer.logger.log({"device/mem_used_gib": used, "device/mem_limit_gib": limit}, step)
+        except Exception:
+            pass
+
+
+class ProgressCallback:
+    """Throughput + smoothed-loss console reporting (NeurosisProgressBar role)."""
+
+    def __init__(self, every_n: int = 10):
+        self.every_n = every_n
+        self.ema = EMATracker()
+        self._last_time = None
+        self._last_step = 0
+
+    def on_train_batch_end(self, trainer, state, frozen, batch, metrics, step: int):
+        loss = float(metrics.get("loss", metrics.get("total", 0.0)))
+        smoothed = self.ema.update(loss)
+        if step % self.every_n != 0:
+            return
+        now = time.time()
+        if self._last_time is not None:
+            rate = (step - self._last_step) / max(now - self._last_time, 1e-9)
+            logger.info(f"step {step} loss {loss:.4f} (ema {smoothed:.4f}) {rate:.2f} it/s")
+        self._last_time = now
+        self._last_step = step

@@ -1,0 +1,74 @@
+"""CLI entrypoint (parity: trainer/cli.py:50-149 — `neurosis fit -c config.yaml`).
+
+`python -m neurosis_tpu fit -c config.yaml` consumes the reference YAML shape:
+trainer args, model (DiffusionEngine node), data (dataset module node).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    parser = argparse.ArgumentParser(prog="neurosis_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+    fit = sub.add_parser("fit", help="train from a YAML config")
+    fit.add_argument("-c", "--config", required=True, type=Path)
+    fit.add_argument("--max-steps", type=int, default=None)
+    fit.add_argument("--fast-dev-run", action="store_true", default=None)
+    args = parser.parse_args(argv)
+
+    if args.command == "fit":
+        return run_fit(args)
+    return 1
+
+
+def run_fit(args) -> int:
+    from neurosis_tpu.config import instantiate, load_config
+    from neurosis_tpu.trainer.builder import build_diffusion_engine
+    from neurosis_tpu.trainer.loop import Trainer
+
+    cfg = load_config(args.config)
+    trainer_cfg = cfg.get("trainer", {}) or {}
+
+    model_node = cfg["model"]
+    cls_path = model_node.get("class_path", "")
+    if "DiffusionEngine" not in cls_path:
+        raise NotImplementedError(f"CLI currently drives DiffusionEngine configs, got {cls_path}")
+    engine = build_diffusion_engine(model_node)
+
+    data_node = cfg["data"]
+    dataset = instantiate(data_node)
+
+    fast_dev = trainer_cfg.get("fast_dev_run", False)
+    if args.fast_dev_run is not None:
+        fast_dev = args.fast_dev_run
+    max_steps = args.max_steps or trainer_cfg.get("max_steps", 1000)
+
+    trainer = Trainer(
+        engine,
+        max_steps=max_steps,
+        max_epochs=trainer_cfg.get("max_epochs"),
+        log_every_n_steps=trainer_cfg.get("log_every_n_steps", 1),
+        default_root_dir=trainer_cfg.get("default_root_dir", "./projects"),
+        seed=cfg.get("seed_everything", 42),
+        fast_dev_run=bool(fast_dev),
+    )
+
+    def batches():
+        for idx_batch in dataset.get_batch_iterator():
+            yield dataset.get_batch(idx_batch)
+
+    state, frozen = trainer.fit(batches)
+    logger.info(f"fit complete at step {int(state.step)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

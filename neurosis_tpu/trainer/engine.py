@@ -45,6 +45,7 @@ class DiffusionEngine:
     denoiser: Denoiser
     loss_fn: StandardDiffusionLoss
     conditioner: GeneralConditioner
+    first_stage: Optional[Any] = None  # AutoencoderKL (encode/decode methods)
     first_stage_encoder: Optional[Encoder] = None
     first_stage_decoder: Optional[Decoder] = None
     optimizer: Optional[optax.GradientTransformation] = None
@@ -76,12 +77,16 @@ class DiffusionEngine:
         )["params"]
 
         frozen = {"conditioner": cond_frozen}
-        if self.first_stage_encoder is not None:
+        if self.first_stage is not None:
             img = batch[self.input_key]
-            frozen["first_stage_encoder"] = self.first_stage_encoder.init(r_vae, img)["params"]
-        if self.first_stage_decoder is not None:
-            z = latents / self.scale_factor
-            frozen["first_stage_decoder"] = self.first_stage_decoder.init(r_vae, z)["params"]
+            frozen["first_stage"] = self.first_stage.init(r_vae, img)["params"]
+        else:
+            if self.first_stage_encoder is not None:
+                img = batch[self.input_key]
+                frozen["first_stage_encoder"] = self.first_stage_encoder.init(r_vae, img)["params"]
+            if self.first_stage_decoder is not None:
+                z = latents / self.scale_factor
+                frozen["first_stage_decoder"] = self.first_stage_decoder.init(r_vae, z)["params"]
 
         params = {"model": unet_params, "conditioner": cond_trainable}
         opt_state = self.optimizer.init(params) if self.optimizer else None
@@ -117,13 +122,20 @@ class DiffusionEngine:
 
     def encode_first_stage(self, frozen: dict, x: jax.Array, rng: jax.Array) -> jax.Array:
         """images [-1,1] NHWC → scaled latents (models/diffusion.py:187-197)."""
-        moments = self.first_stage_encoder.apply(
-            {"params": frozen["first_stage_encoder"]}, x
-        )
+        if self.first_stage is not None:
+            moments = self.first_stage.apply(
+                {"params": frozen["first_stage"]}, x, method="encode"
+            )
+        else:
+            moments = self.first_stage_encoder.apply({"params": frozen["first_stage_encoder"]}, x)
         z = DiagonalGaussian.from_moments(moments).sample(rng)
         return jax.lax.stop_gradient(self.scale_factor * z)
 
     def decode_first_stage(self, frozen: dict, z: jax.Array) -> jax.Array:
+        if self.first_stage is not None:
+            return self.first_stage.apply(
+                {"params": frozen["first_stage"]}, z / self.scale_factor, method="decode"
+            )
         return self.first_stage_decoder.apply(
             {"params": frozen["first_stage_decoder"]}, z / self.scale_factor
         )

@@ -1,0 +1,204 @@
+"""The training loop — Lightning Trainer's role, functional style.
+
+Drives: data iteration (bucket batches → tokenize → device_put with mesh
+sharding) → jitted engine.train_step (one compiled executable per bucket
+shape) → metric logging → callbacks (image logger, checkpoints, crash dump).
+
+Parity anchors: trainer runtime L5 (SURVEY.md §1), fast_dev_run smoke mode,
+ExceptionHandler save-on-crash (trainer/callbacks/exception.py:55-80).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Any, Callable, Iterable, Optional, Sequence
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class HashTokenizer:
+    """Deterministic fallback tokenizer when no CLIP vocab is on disk.
+
+    Produces stable pseudo-ids from word hashes — NOT CLIP-compatible; exists
+    so smoke configs run end-to-end in vocabless environments. Training for
+    real requires the BPE vocab (models/text_encoder/tokenizer.py).
+    """
+
+    def __init__(self, vocab_size: int = 49408, max_length: int = 77):
+        self.vocab_size = vocab_size
+        self.max_length = max_length
+        self.bos_token_id = vocab_size - 2
+        self.eos_token_id = vocab_size - 1
+        self.pad_token_id = self.eos_token_id
+
+    def __call__(self, texts, max_length: Optional[int] = None) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        max_length = max_length or self.max_length
+        out = np.full((len(texts), max_length), self.pad_token_id, dtype=np.int32)
+        for i, t in enumerate(texts):
+            import zlib
+
+            ids = [zlib.crc32(w.encode()) % (self.vocab_size - 2) for w in t.split()][: max_length - 2]
+            row = [self.bos_token_id] + ids + [self.eos_token_id]
+            out[i, : len(row)] = row
+        return out
+
+
+def get_tokenizer(version: str = "openai/clip-vit-large-patch14", max_length: int = 77):
+    from neurosis_tpu.models.text_encoder.tokenizer import CLIPTokenizer
+
+    try:
+        return CLIPTokenizer.from_pretrained(version, max_length=max_length)
+    except FileNotFoundError:
+        logger.warning("no CLIP vocab found — using HashTokenizer (smoke-test mode)")
+        return HashTokenizer(max_length=max_length)
+
+
+class JsonlLogger:
+    """Scalar logger: JSONL always; wandb when available + configured."""
+
+    def __init__(self, log_dir: Path, wandb_config: Optional[dict] = None):
+        self.log_dir = Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.file = open(self.log_dir / "metrics.jsonl", "a")
+        self.wandb = None
+        if wandb_config:
+            try:
+                import wandb
+
+                self.wandb = wandb.init(**wandb_config)
+            except ImportError:
+                logger.warning("wandb not installed; falling back to JSONL only")
+
+    def log(self, metrics: dict, step: int):
+        record = {"step": step, "time": time.time()}
+        for k, v in metrics.items():
+            try:
+                record[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        self.file.write(json.dumps(record) + "\n")
+        self.file.flush()
+        if self.wandb is not None:
+            self.wandb.log(record, step=step)
+
+
+class Trainer:
+    def __init__(
+        self,
+        engine,
+        max_steps: int = 1000,
+        max_epochs: Optional[int] = None,
+        log_every_n_steps: int = 1,
+        default_root_dir: str = "./projects",
+        seed: int = 42,
+        fast_dev_run: bool = False,
+        callbacks: Sequence[Any] = (),
+        tokenizer=None,
+        caption_key: str = "caption",
+        token_max_length: int = 77,
+    ):
+        self.engine = engine
+        self.max_steps = 1 if fast_dev_run else max_steps
+        self.max_epochs = 1 if fast_dev_run else max_epochs
+        self.log_every = log_every_n_steps
+        self.root_dir = Path(default_root_dir)
+        self.seed = seed
+        self.callbacks = list(callbacks)
+        self.tokenizer = tokenizer or get_tokenizer(max_length=token_max_length)
+        self.caption_key = caption_key
+        self.logger = JsonlLogger(self.root_dir / "logs")
+        self._step_fns: dict = {}  # shape-keyed jitted steps
+
+    # -- batch prep --------------------------------------------------------
+
+    def prepare_batch(self, batch: dict) -> dict:
+        """Host batch → numeric device batch (tokenize captions, drop strings)."""
+        out = {}
+        for k, v in batch.items():
+            if k == self.caption_key and isinstance(v, (list, tuple)):
+                out[f"{k}_ids"] = self.tokenizer(list(v))
+            elif isinstance(v, np.ndarray):
+                out[k] = v
+            elif isinstance(v, (list, tuple)) and v and isinstance(v[0], (int, float)):
+                out[k] = np.asarray(v)
+        if f"{self.caption_key}_ids" in out:
+            out["uncond_ids"] = self.tokenizer([""])
+        return out
+
+    def _step_fn(self, shape_key):
+        if shape_key not in self._step_fns:
+            self._step_fns[shape_key] = jax.jit(self.engine.train_step)
+        return self._step_fns[shape_key]
+
+    # -- fit ---------------------------------------------------------------
+
+    def fit(self, batch_iter_factory: Callable[[], Iterable[dict]]):
+        """Run training over batches from `batch_iter_factory()` per epoch."""
+        rng = jax.random.PRNGKey(self.seed)
+
+        first = None
+        epoch = 0
+        state = frozen = None
+        global_step = 0
+        try:
+            while global_step < self.max_steps and (self.max_epochs is None or epoch < self.max_epochs):
+                for batch in batch_iter_factory():
+                    prepped = self.prepare_batch(batch)
+                    if state is None:
+                        state, frozen = self.engine.init(rng, prepped)
+                        if getattr(self.engine, "ckpt_path", None):
+                            state, frozen = self._load_ckpt(state, frozen)
+                        for cb in self.callbacks:
+                            if hasattr(cb, "on_fit_start"):
+                                cb.on_fit_start(self, state)
+                    key = prepped[self.engine.input_key].shape
+                    state, metrics = self._step_fn(key)(state, frozen, prepped)
+                    global_step = int(state.step)
+
+                    if global_step % self.log_every == 0:
+                        self.logger.log(metrics, global_step)
+                    for cb in self.callbacks:
+                        if hasattr(cb, "on_train_batch_end"):
+                            cb.on_train_batch_end(self, state, frozen, batch, metrics, global_step)
+                    if global_step >= self.max_steps:
+                        break
+                epoch += 1
+        except Exception:
+            # ExceptionHandler parity: dump state for post-mortem resume
+            if state is not None:
+                self._crash_dump(state)
+            raise
+        for cb in self.callbacks:
+            if hasattr(cb, "on_fit_end"):
+                cb.on_fit_end(self, state)
+        return state, frozen
+
+    def _load_ckpt(self, state, frozen):
+        from neurosis_tpu.checkpoint.sgm import load_sgm_checkpoint
+
+        try:
+            return load_sgm_checkpoint(self.engine, state, frozen, self.engine.ckpt_path)
+        except FileNotFoundError:
+            logger.warning(f"ckpt_path {self.engine.ckpt_path} not found — training from scratch")
+            return state, frozen
+
+    def _crash_dump(self, state):
+        try:
+            import pickle
+
+            path = self.root_dir / f"last_exception.s{int(state.step)}.pkl"
+            path.parent.mkdir(parents=True, exist_ok=True)
+            host_state = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params)
+            with open(path, "wb") as f:
+                pickle.dump({"step": int(state.step), "params": host_state}, f)
+            logger.error(f"crash dump saved to {path}")
+        except Exception:  # pragma: no cover
+            logger.exception("failed to write crash dump")

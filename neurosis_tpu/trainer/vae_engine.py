@@ -1,0 +1,223 @@
+"""AutoencodingEngine — VAE/GAN training (parity: models/autoencoder.py:134-505).
+
+The reference's Lightning manual-optimization dance (`optimizer_idx =
+batch_idx % len(opts)` gated on disc_start, training_step 280-293) becomes two
+jitted step functions over disjoint trainable trees:
+
+  - g_step: grads wrt {encoder, decoder} through recon+LPIPS+(−E[D(recon)])
+  - d_step: grads wrt {loss.discr} through hinge/vanilla on D(x), D(recon)
+
+The host loop alternates them with the same schedule. KL regularization via
+DiagonalGaussian; EMA of generator params; batch_stats for the discriminator's
+BatchNorm threaded as mutable state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from neurosis_tpu.losses.vae_loss import AutoencoderLPIPSWithDiscr, AutoencoderPerceptual
+from neurosis_tpu.models.vae import Decoder, Encoder
+from neurosis_tpu.modules.distributions import DiagonalGaussian
+from neurosis_tpu.modules.ema import EmaState, ema_init, ema_update
+from neurosis_tpu.trainer.state import next_rngs
+
+
+@flax.struct.dataclass
+class VAETrainState:
+    step: jax.Array
+    params: Any  # {'encoder', 'decoder', 'loss'} — loss holds lpips(frozen)+discr
+    batch_stats: Any  # discriminator BN running stats
+    g_opt_state: optax.OptState
+    d_opt_state: Optional[optax.OptState]
+    ema: Optional[EmaState]
+    rng: jax.Array
+
+
+def _tree_paths_with(tree: dict, keys: tuple) -> dict:
+    return {k: tree[k] for k in keys if k in tree}
+
+
+def _mask_subtree(tree: Any, needle: str) -> Any:
+    """Bool mask tree: True for leaves whose path contains `needle`."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)
+    leaves = [
+        any(needle in str(getattr(p, "key", p)) for p in path) for path, _ in flat[0]
+    ]
+    return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(tree), leaves)
+
+
+@dataclasses.dataclass
+class AutoencodingEngine:
+    encoder: Encoder
+    decoder: Decoder
+    loss: Any  # AutoencoderPerceptual | AutoencoderLPIPSWithDiscr
+    g_optimizer: optax.GradientTransformation = None
+    d_optimizer: Optional[optax.GradientTransformation] = None
+    kl_weight: float = 0.0  # regularization_weights['kl_loss'] equivalent
+    sample_posterior: bool = True
+    input_key: str = "image"
+    use_ema: bool = False
+    ema_decay: float = 0.9999
+    disc_start: int = -1
+
+    @property
+    def has_discriminator(self) -> bool:
+        return isinstance(self.loss, AutoencoderLPIPSWithDiscr)
+
+    # ------------------------------------------------------------------
+
+    def init(self, rng: jax.Array, batch: dict) -> VAETrainState:
+        x = batch[self.input_key]
+        r_enc, r_dec, r_loss, r_state = jax.random.split(rng, 4)
+        enc_params = self.encoder.init(r_enc, x)["params"]
+        moments = self.encoder.apply({"params": enc_params}, x)
+        z = DiagonalGaussian.from_moments(moments).mode()
+        dec_params = self.decoder.init(r_dec, z)["params"]
+
+        if self.has_discriminator:
+            loss_vars = self.loss.init(r_loss, x, x, jnp.asarray(0), optimizer_idx=0)
+        else:
+            loss_vars = self.loss.init(r_loss, x, x)
+        loss_params = loss_vars.get("params", {})
+        batch_stats = loss_vars.get("batch_stats", {})
+
+        params = {"encoder": enc_params, "decoder": dec_params, "loss": loss_params}
+        g_params = _tree_paths_with(params, ("encoder", "decoder"))
+        g_opt_state = self.g_optimizer.init(g_params)
+        d_opt_state = None
+        if self.has_discriminator and self.d_optimizer is not None:
+            # only the discriminator inside 'loss' trains; LPIPS is frozen
+            d_tree = {"loss": params["loss"]}
+            mask = _mask_subtree(d_tree, "discr")
+            self._masked_d_opt = optax.masked(self.d_optimizer, mask)
+            d_opt_state = self._masked_d_opt.init(d_tree)
+        ema = ema_init(g_params) if self.use_ema else None
+        return VAETrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            ema=ema,
+            rng=r_state,
+        )
+
+    # ------------------------------------------------------------------
+
+    def forward(self, params: dict, x: jax.Array, rng: Optional[jax.Array]):
+        """encode → sample/mode → decode (autoencoder.py:469-504)."""
+        moments = self.encoder.apply({"params": params["encoder"]}, x)
+        dist = DiagonalGaussian.from_moments(moments)
+        z = dist.sample(rng) if (self.sample_posterior and rng is not None) else dist.mode()
+        recons = self.decoder.apply({"params": params["decoder"]}, z)
+        return z, recons, dist
+
+    def _loss_apply(self, loss_params, batch_stats, inputs, recons, step, optimizer_idx, train=True):
+        variables = {"params": loss_params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        kwargs = {}
+        mutable = []
+        if self.has_discriminator:
+            out, updated = self.loss.apply(
+                variables,
+                inputs,
+                recons,
+                step,
+                optimizer_idx=optimizer_idx,
+                train=train,
+                mutable=["batch_stats"],
+            )
+            return out, updated.get("batch_stats", batch_stats)
+        out = self.loss.apply(variables, inputs, recons)
+        return out, batch_stats
+
+    # ------------------------------------------------------------------
+
+    def g_step(self, state: VAETrainState, batch: dict):
+        """Generator (AE) update — optimizer_idx 0."""
+        rng, z_rng = next_rngs(state.rng, 1)
+        x = batch[self.input_key]
+
+        def loss_fn(g_params):
+            params = dict(state.params)
+            params.update(g_params)
+            z, recons, dist = self.forward(params, x, z_rng)
+            (loss, log), new_stats = self._loss_apply(
+                params["loss"], state.batch_stats, x, recons, state.step, 0
+            )
+            total = jnp.mean(loss)
+            if self.kl_weight > 0:
+                kl = jnp.mean(dist.kl())
+                total = total + self.kl_weight * kl
+                log = dict(log, **{"train/loss/kl": kl})
+            return total, (log, new_stats)
+
+        g_params = _tree_paths_with(state.params, ("encoder", "decoder"))
+        (total, (log, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_params)
+        updates, g_opt_state = self.g_optimizer.update(grads, state.g_opt_state, g_params)
+        g_params = optax.apply_updates(g_params, updates)
+
+        params = dict(state.params)
+        params.update(g_params)
+        ema = ema_update(state.ema, g_params, self.ema_decay) if state.ema is not None else None
+        new_state = dataclasses.replace(
+            state,
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            g_opt_state=g_opt_state,
+            ema=ema,
+            rng=rng,
+        )
+        return new_state, dict(log, total=total)
+
+    def d_step(self, state: VAETrainState, batch: dict):
+        """Discriminator update — optimizer_idx 1."""
+        if not self.has_discriminator:
+            raise ValueError("engine has no discriminator")
+        rng, z_rng = next_rngs(state.rng, 1)
+        x = batch[self.input_key]
+        z, recons, _ = self.forward(state.params, x, z_rng)
+        recons = jax.lax.stop_gradient(recons)
+
+        def loss_fn(d_params):
+            (d_loss, log), new_stats = self._loss_apply(
+                d_params["loss"], state.batch_stats, x, recons, state.step, 1
+            )
+            return d_loss, (log, new_stats)
+
+        d_params = {"loss": state.params["loss"]}
+        (d_loss, (log, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_params)
+        updates, d_opt_state = self._masked_d_opt.update(grads, state.d_opt_state, d_params)
+        d_params = optax.apply_updates(d_params, updates)
+
+        params = dict(state.params)
+        params["loss"] = d_params["loss"]
+        new_state = dataclasses.replace(
+            state,
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            d_opt_state=d_opt_state,
+            rng=rng,
+        )
+        return new_state, dict(log, total=d_loss)
+
+    # ------------------------------------------------------------------
+
+    def train_step_schedule(self, batch_idx: int, global_step: int) -> int:
+        """optimizer_idx schedule (autoencoder.py:280-293): alternate once the
+        discriminator has started; 0 before."""
+        if not self.has_discriminator or self.disc_start < 0:
+            return 0
+        if global_step < self.disc_start:
+            return 0
+        return batch_idx % 2

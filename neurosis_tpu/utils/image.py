@@ -1,0 +1,105 @@
+"""Image utilities (parity: utils/image/{convert,grid,label}.py, utils/vae.py).
+
+numpy/PIL only — converts model outputs ([-1,1] NHWC) to PIL, builds captioned
+sample grids, stamps step labels.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def denormalize(x: np.ndarray) -> np.ndarray:
+    """[-1,1] → [0,1] (utils/image/vae.py parity)."""
+    return np.clip((np.asarray(x, np.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+
+def normalize(x: np.ndarray) -> np.ndarray:
+    """[0,1] → [-1,1]."""
+    return np.asarray(x, np.float32) * 2.0 - 1.0
+
+
+def is_image_tensor(x) -> bool:
+    return hasattr(x, "ndim") and x.ndim == 4 and x.shape[-1] in (1, 3, 4)
+
+
+def array_to_pil(x: np.ndarray):
+    """[-1,1] or [0,1] HWC float → PIL RGB."""
+    from PIL import Image
+
+    x = np.asarray(x, np.float32)
+    if x.min() < -0.01:
+        x = denormalize(x)
+    arr = (np.clip(x, 0, 1) * 255).round().astype(np.uint8)
+    if arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    return Image.fromarray(arr)
+
+
+def _default_font(size: int = 12):
+    from PIL import ImageFont
+
+    try:
+        return ImageFont.truetype("DejaVuSans.ttf", size)
+    except OSError:
+        return ImageFont.load_default()
+
+
+def caption_grid(
+    images: Sequence, captions: Optional[Sequence[str]] = None, cols: int = 2, pad: int = 4,
+    caption_height: int = 32,
+):
+    """Captioned grid of PIL images (utils/image/grid.py CaptionGrid parity)."""
+    from PIL import Image, ImageDraw
+
+    images = [array_to_pil(im) if not hasattr(im, "save") else im for im in images]
+    n = len(images)
+    cols = min(cols, n)
+    rows = (n + cols - 1) // cols
+    w = max(im.width for im in images)
+    h = max(im.height for im in images)
+    cap_h = caption_height if captions else 0
+
+    grid = Image.new("RGB", (cols * (w + pad) + pad, rows * (h + cap_h + pad) + pad), (24, 24, 24))
+    draw = ImageDraw.Draw(grid)
+    font = _default_font()
+    for i, im in enumerate(images):
+        r, c = divmod(i, cols)
+        x0 = pad + c * (w + pad)
+        y0 = pad + r * (h + cap_h + pad)
+        grid.paste(im, (x0, y0))
+        if captions and i < len(captions):
+            text = str(captions[i])[:120]
+            draw.text((x0 + 2, y0 + h + 2), text, fill=(230, 230, 230), font=font)
+    return grid
+
+
+def stamp_label(image, text: str, corner: str = "tl"):
+    """Step-label stamping (utils/image/label.py:8-44)."""
+    from PIL import ImageDraw
+
+    draw = ImageDraw.Draw(image)
+    font = _default_font()
+    bbox = draw.textbbox((0, 0), text, font=font)
+    tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
+    pos = {
+        "tl": (4, 4),
+        "tr": (image.width - tw - 4, 4),
+        "bl": (4, image.height - th - 4),
+        "br": (image.width - tw - 4, image.height - th - 4),
+    }[corner]
+    draw.rectangle([pos[0] - 2, pos[1] - 2, pos[0] + tw + 2, pos[1] + th + 2], fill=(0, 0, 0))
+    draw.text(pos, text, fill=(255, 255, 255), font=font)
+    return image
+
+
+def save_image_grid(images, path, captions=None, cols: int = 2, label: Optional[str] = None):
+    grid = caption_grid(images, captions, cols=cols)
+    if label:
+        grid = stamp_label(grid, label)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    grid.save(path)
+    return path

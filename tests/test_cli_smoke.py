@@ -1,0 +1,53 @@
+"""End-to-end CLI smoke: `fit -c configs/smoke/sd15-tiny.yaml` runs one step
+on a generated tiny image folder (the reference's fast_dev_run analog)."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+@pytest.fixture()
+def smoke_data(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        arr = (rng.rand(80, 96, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img_{i}.png")
+        (tmp_path / f"img_{i}.txt").write_text(f"tag{i}, a test image, simple")
+    return tmp_path
+
+
+def test_cli_fit_smoke(smoke_data, monkeypatch):
+    from neurosis_tpu.trainer.cli import main
+
+    monkeypatch.setenv("NEUROSIS_SMOKE_DATA", str(smoke_data))
+    rc = main(["fit", "-c", "configs/smoke/sd15-tiny.yaml", "--fast-dev-run"])
+    assert rc == 0
+
+
+def test_config_loader_interpolation(tmp_path):
+    from neurosis_tpu.config import load_config
+
+    cfg_path = tmp_path / "c.yaml"
+    cfg_path.write_text(
+        "a:\n  b: hello\nc: ${a.b}\nd: ${oc.env:NEUROSIS_TEST_ENVVAR,fallback}\n"
+    )
+    cfg = load_config(cfg_path)
+    assert cfg["c"] == "hello"
+    assert cfg["d"] == "fallback"
+
+
+def test_registry_resolves_reference_paths():
+    from neurosis_tpu.config import resolve_class_path
+    from neurosis_tpu.models.unet import UNetModel
+
+    assert resolve_class_path("neurosis.modules.diffusion.UNetModel") is UNetModel
+    # fallback import path
+    import optax
+
+    assert resolve_class_path("optax.adamw") is optax.adamw

@@ -73,13 +73,23 @@ def main() -> None:
     ctx = jnp.zeros((batch, 77, 2048), jnp.bfloat16)
     y = jnp.zeros((batch, 2816), jnp.bfloat16)
 
+    print("bench: tracing param shapes...", file=sys.stderr, flush=True)
     shapes = jax.eval_shape(lambda: model.init(rng, x, t, ctx, y=y))["params"]
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    keys = jax.random.split(rng, len(leaves))
-    params = jax.tree_util.tree_unflatten(
-        treedef,
-        [jax.random.normal(k, s.shape, s.dtype) * 0.02 for k, s in zip(keys, leaves)],
-    )
+
+    @jax.jit
+    def init_params(key):
+        # bf16 params: single-chip SDXL (2.6B) in fp32 + optimizer state would
+        # not fit 16GB HBM; production multi-chip runs shard fp32 masters.
+        ks = jax.random.split(key, len(leaves))
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02 for k, s in zip(ks, leaves)],
+        )
+
+    print("bench: initializing params (one fused program)...", file=sys.stderr, flush=True)
+    params = init_params(rng)
+    jax.block_until_ready(params)
 
     opt = optax.adafactor(1e-5)
     opt_state = jax.jit(opt.init)(params)
@@ -98,8 +108,11 @@ def main() -> None:
 
     # single lowering: compile once, read step FLOPs off the same executable
     key = jax.random.PRNGKey(1)
+    print("bench: tracing train step...", file=sys.stderr, flush=True)
     lowered = train_step.lower(params, opt_state, x, t, ctx, y, key)
+    print("bench: compiling train step...", file=sys.stderr, flush=True)
     compiled = lowered.compile()
+    print("bench: compiled; timing...", file=sys.stderr, flush=True)
     try:
         cost = compiled.cost_analysis()
         step_flops = float(cost.get("flops", 0.0))

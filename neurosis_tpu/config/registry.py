@@ -23,6 +23,12 @@ def register(*names: str):
     return deco
 
 
+def _hooks():
+    import neurosis_tpu.hooks as hooks
+
+    return hooks
+
+
 def _populate():
     """Lazy mapping of reference class paths → our components."""
     from neurosis_tpu.data.aspect import AspectBucketList, SDXLBucketList, WDXLBucketList, WDXLBucketList2
@@ -146,6 +152,11 @@ def _populate():
         "neurosis.dataset.imagefolder.FolderSquareModule": FolderSquareDataset,
         "neurosis.dataset.imagefolder.FolderVAEDataset": FolderVAEDataset,
         "neurosis.dataset.imagefolder.FolderVAEModule": FolderVAEDataset,
+        # optimizers / schedulers
+        # loss hooks (config contract: configs/hook/loss_scale.example.yml)
+        "neurosis.dataset.processing.TagFrequencyHook": _hooks().TagFrequencyHook,
+        "neurosis.dataset.processing.TagFreqScale": _hooks().TagFreqScale,
+        "neurosis.dataset.processing.TagRewards": _hooks().TagRewards,
         # optimizers / schedulers
         "neurosis.optimizers.Adafactor": Adafactor,
         "neurosis.optimizers.CAME": came,

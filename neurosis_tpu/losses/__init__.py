@@ -20,3 +20,8 @@ __all__ = [
     "DiscriminatorLoss",
     "PerceptualLoss",
 ]
+
+# heavier loss modules import lazily elsewhere to keep package import light:
+#   .lpips (LPIPS), .patchgan (NLayerDiscriminator),
+#   .vae_loss (AutoencoderPerceptual, AutoencoderLPIPSWithDiscr),
+#   .discriminator_loss (GeneralLPIPSWithDiscriminator)

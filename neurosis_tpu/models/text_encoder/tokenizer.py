@@ -157,8 +157,9 @@ class CLIPTokenizer:
             )
         return bpe_tokens
 
-    def decode(self, ids: Iterable[int]) -> str:
-        text = "".join(self.decoder.get(i, "") for i in ids)
+    def decode(self, ids: Iterable[int], skip_special_tokens: bool = True) -> str:
+        special = {self.bos_token_id, self.eos_token_id} if skip_special_tokens else set()
+        text = "".join(self.decoder.get(i, "") for i in ids if i not in special)
         raw = bytearray(self.byte_decoder.get(c, 32) for c in text)
         return raw.decode("utf-8", errors="replace").replace("</w>", " ").strip()
 

@@ -79,6 +79,33 @@ def build_diffusion_engine(model_node: dict) -> DiffusionEngine:
     first_stage = build_first_stage(args.get("first_stage_model"))
     optimizer = build_optimizer(args.get("optimizer"), args.get("scheduler"))
 
+    # per-module LR param groups (models/diffusion.py:261-296): the UNet trains
+    # at base_lr; each trainable embedder with its own base_lr gets an LR-scaled
+    # copy of the optimizer via multi_transform.
+    emb_nodes = (args["conditioner"].get("init_args") or {}).get("emb_models", [])
+    base_lr = args.get("base_lr")
+    group_scales = {}
+    for i in emb_nodes and trainable_idx or []:
+        ia = emb_nodes[i].get("init_args") or {}
+        if ia.get("base_lr") is not None and base_lr:
+            group_scales[f"embedders.{i}"] = float(ia["base_lr"]) / float(base_lr)
+    if group_scales:
+        import optax as _optax
+
+        from neurosis_tpu.optimizers import hybrid_optimizer
+
+        opts = {"default": optimizer}
+        for label, scale in group_scales.items():
+            opts[label] = _optax.chain(optimizer, _optax.scale(scale))
+
+        def label_fn(path, leaf):
+            for label in group_scales:
+                if any(label in p for p in path):
+                    return label
+            return "default"
+
+        optimizer = hybrid_optimizer(opts, label_fn)
+
     engine = DiffusionEngine(
         model=unet,
         denoiser=denoiser,
@@ -93,4 +120,5 @@ def build_diffusion_engine(model_node: dict) -> DiffusionEngine:
         trainable_embedders=tuple(trainable_idx),
     )
     engine.ckpt_path = args.get("ckpt_path")
+    engine.loss_hooks = [instantiate(h) for h in args.get("forward_hooks", []) or []]
     return engine

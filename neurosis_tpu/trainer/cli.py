@@ -51,6 +51,24 @@ def run_fit(args) -> int:
         fast_dev = args.fast_dev_run
     max_steps = args.max_steps or trainer_cfg.get("max_steps", 1000)
 
+    callbacks = []
+    if cfg.get("image_logger"):
+        from neurosis_tpu.trainer.callbacks import ImageLogger
+
+        il = dict(cfg["image_logger"])
+        callbacks.append(
+            ImageLogger(
+                every_n_train_steps=il.get("every_n_train_steps", 100),
+                max_images=il.get("max_images", 4),
+                log_before_start=il.get("log_before_start", False),
+            )
+        )
+    if cfg.get("model_checkpoint"):
+        from neurosis_tpu.trainer.callbacks import CheckpointCallback
+
+        mc = dict(cfg["model_checkpoint"])
+        callbacks.append(CheckpointCallback(every_n_train_steps=mc.get("every_n_train_steps", 1000)))
+
     trainer = Trainer(
         engine,
         max_steps=max_steps,
@@ -59,6 +77,8 @@ def run_fit(args) -> int:
         default_root_dir=trainer_cfg.get("default_root_dir", "./projects"),
         seed=cfg.get("seed_everything", 42),
         fast_dev_run=bool(fast_dev),
+        callbacks=callbacks,
+        loss_hooks=getattr(engine, "loss_hooks", ()),
     )
 
     def batches():

@@ -163,6 +163,9 @@ class DiffusionEngine:
             )
 
         per_sample = self.loss_fn(network_apply, self.denoiser, cond, latents, loss_rng, batch=batch)
+        if "loss_scale" in batch:
+            # per-sample multipliers from loss hooks (TagFrequencyHook contract)
+            per_sample = per_sample * batch["loss_scale"].astype(per_sample.dtype)
         return per_sample.mean(), {"loss": per_sample.mean()}
 
     def train_step(self, state: TrainState, frozen: dict, batch: dict):

@@ -101,6 +101,7 @@ class Trainer:
         seed: int = 42,
         fast_dev_run: bool = False,
         callbacks: Sequence[Any] = (),
+        loss_hooks: Sequence[Any] = (),
         tokenizer=None,
         caption_key: str = "caption",
         token_max_length: int = 77,
@@ -112,6 +113,7 @@ class Trainer:
         self.root_dir = Path(default_root_dir)
         self.seed = seed
         self.callbacks = list(callbacks)
+        self.loss_hooks = list(loss_hooks)
         self.tokenizer = tokenizer or get_tokenizer(max_length=token_max_length)
         self.caption_key = caption_key
         self.logger = JsonlLogger(self.root_dir / "logs")
@@ -150,7 +152,12 @@ class Trainer:
         global_step = 0
         try:
             while global_step < self.max_steps and (self.max_epochs is None or epoch < self.max_epochs):
+                batch_idx = 0
                 for batch in batch_iter_factory():
+                    # loss hooks pre (models/diffusion.py:206-208 placement)
+                    for hook in self.loss_hooks:
+                        batch = hook.pre_hook(self, self.engine, batch, batch_idx)
+                    batch_idx += 1
                     prepped = self.prepare_batch(batch)
                     if state is None:
                         state, frozen = self.engine.init(rng, prepped)
@@ -162,6 +169,10 @@ class Trainer:
                     key = prepped[self.engine.input_key].shape
                     state, metrics = self._step_fn(key)(state, frozen, prepped)
                     global_step = int(state.step)
+
+                    loss_val = metrics.get("loss")
+                    for hook in self.loss_hooks:
+                        loss_val, metrics = hook.batch_hook(self.engine, batch, loss_val, metrics)
 
                     if global_step % self.log_every == 0:
                         self.logger.log(metrics, global_step)

@@ -176,3 +176,73 @@ class ProgressCallback:
             logger.info(f"step {step} loss {loss:.4f} (ema {smoothed:.4f}) {rate:.2f} it/s")
         self._last_time = now
         self._last_step = step
+
+
+class HFHubCheckpoint:
+    """Push checkpoints to a HF Hub repo on a step cadence
+    (trainer/callbacks/checkpoint.py:119-141 parity; non-blocking uploads)."""
+
+    def __init__(
+        self,
+        repo_id: str,
+        every_n_train_steps: int = 1000,
+        private: bool = True,
+        path_in_repo: str = "checkpoints",
+    ):
+        self.repo_id = repo_id
+        self.every_n = every_n_train_steps
+        self.private = private
+        self.path_in_repo = path_in_repo
+        self._futures = []
+
+    def on_train_batch_end(self, trainer, state, frozen, batch, metrics, step: int):
+        if step % self.every_n != 0:
+            return
+        try:
+            from huggingface_hub import HfApi
+
+            from neurosis_tpu.checkpoint.sgm import export_sgm_checkpoint
+
+            path = Path(trainer.root_dir) / "hub" / f"step_{step:08d}.safetensors"
+            path.parent.mkdir(parents=True, exist_ok=True)
+            export_sgm_checkpoint(trainer.engine, state, frozen, path)
+            api = HfApi()
+            api.create_repo(self.repo_id, private=self.private, exist_ok=True)
+            fut = api.upload_file(
+                path_or_fileobj=str(path),
+                path_in_repo=f"{self.path_in_repo}/{path.name}",
+                repo_id=self.repo_id,
+                run_as_future=True,  # non-blocking (checkpoint.py:141)
+            )
+            self._futures.append(fut)
+            logger.info(f"HF hub upload queued: {self.repo_id}/{path.name}")
+        except Exception:
+            logger.exception("HF hub checkpoint upload failed")
+
+    def on_fit_end(self, trainer, state):
+        for fut in self._futures:
+            try:
+                fut.result(timeout=600)
+            except Exception:
+                logger.exception("pending HF upload failed")
+
+
+class SaveConfigCallback:
+    """Persist the resolved config next to the run (LoggerSaveConfigCallback
+    parity, trainer/callbacks/wandb.py:15-34); uploads to wandb when active."""
+
+    def __init__(self, config: Optional[dict] = None):
+        self.config = config
+
+    def on_fit_start(self, trainer, state):
+        if not self.config:
+            return
+        import yaml
+
+        path = Path(trainer.root_dir) / "config.yaml"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(yaml.safe_dump(self.config, sort_keys=False))
+        wb = getattr(trainer.logger, "wandb", None)
+        if wb is not None:
+            wb.config.update({"resolved_config": self.config}, allow_val_change=True)
+        logger.info(f"saved resolved config → {path}")

@@ -163,6 +163,7 @@ class Trainer:
                         state, frozen = self.engine.init(rng, prepped)
                         if getattr(self.engine, "ckpt_path", None):
                             state, frozen = self._load_ckpt(state, frozen)
+                        state = self._maybe_resume(state)
                         for cb in self.callbacks:
                             if hasattr(cb, "on_fit_start"):
                                 cb.on_fit_start(self, state)
@@ -200,6 +201,33 @@ class Trainer:
         except FileNotFoundError:
             logger.warning(f"ckpt_path {self.engine.ckpt_path} not found — training from scratch")
             return state, frozen
+
+    def _maybe_resume(self, state):
+        """Resume params/step from the latest orbax checkpoint in the run dir
+        (get_checkpoint_name parity, trainer/util.py:97-120)."""
+        ckpt_dir = (self.root_dir / "checkpoints").absolute()
+        if not ckpt_dir.exists():
+            return state
+        try:
+            import orbax.checkpoint as ocp
+
+            mgr = ocp.CheckpointManager(ckpt_dir)
+            latest = mgr.latest_step()
+            if latest is None:
+                return state
+            restored = mgr.restore(
+                latest,
+                args=ocp.args.StandardRestore({"params": state.params, "step": 0}),
+            )
+            logger.info(f"resumed from checkpoint step {latest}")
+            import jax.numpy as jnp
+
+            return state._replace(
+                params=restored["params"], step=jnp.asarray(restored["step"], jnp.int32)
+            )
+        except Exception:
+            logger.exception("checkpoint resume failed; starting fresh")
+            return state
 
     def _crash_dump(self, state):
         try:

@@ -1,0 +1,118 @@
+"""Shape/behavior smoke tests for aux modules: sampling2, dreamsim, vision
+tower, regularizers, schedulers, EMA, summary."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+
+def test_sampling2_parity_with_reference():
+    import importlib.util
+    import sys
+    import types
+
+    import torch
+
+    # load reference sampling2 modules
+    sys.path.insert(0, "tests")
+    from _reference_loader import REF_SRC, _load
+
+    if "neurosis.modules.diffusion.util" not in sys.modules:
+        pkg = types.ModuleType("neurosis")
+        pkg.__path__ = [str(REF_SRC)]
+        sys.modules.setdefault("neurosis", pkg)
+        m = types.ModuleType("neurosis.modules")
+        m.__path__ = [str(REF_SRC / "modules")]
+        sys.modules.setdefault("neurosis.modules", m)
+        d = types.ModuleType("neurosis.modules.diffusion")
+        d.__path__ = [str(REF_SRC / "modules/diffusion")]
+        sys.modules.setdefault("neurosis.modules.diffusion", d)
+        _load("neurosis.modules.diffusion.util", "modules/diffusion/util.py")
+    sp = types.ModuleType("neurosis.modules.sampling")
+    sp.__path__ = [str(REF_SRC / "modules/sampling")]
+    sys.modules.setdefault("neurosis.modules.sampling", sp)
+    _load("neurosis.modules.sampling.common", "modules/sampling/common.py")
+    ref_disc = _load("neurosis.modules.sampling.discrete", "modules/sampling/discrete.py")
+    ref_sched = _load("neurosis.modules.sampling.schedule", "modules/sampling/schedule.py")
+
+    from neurosis_tpu.sampling.sampling2 import DiscreteSampler, get_sigma_scheduler
+
+    ours = DiscreteSampler()
+    ref = ref_disc.DiscreteSampler()
+    np.testing.assert_allclose(ours.sigmas, ref.sigmas.numpy(), rtol=1e-5)
+
+    for name in ["simple", "uniform", "sgm_uniform"]:
+        s_ours = get_sigma_scheduler(name, ours)(8)
+        s_ref = ref_sched.get_sigma_scheduler(name, ref)(8).numpy()
+        np.testing.assert_allclose(s_ours, s_ref, rtol=1e-4, atol=1e-5)
+
+    # sigma<->timestep roundtrip
+    ts = ours.timestep(np.asarray([0.5, 2.0]))
+    ts_ref = ref.timestep(torch.tensor([0.5, 2.0])).numpy()
+    np.testing.assert_array_equal(ts, ts_ref)
+
+
+def test_dreamsim_ensemble_shapes():
+    from neurosis_tpu.losses.dreamsim import DreamsimEnsemble
+
+    model = DreamsimEnsemble(do_resize=False)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 1, 32, 32, 3).astype(np.float32))
+    # tiny towers: override depth via a small custom instance is complex; just
+    # check init traces with eval_shape (full 224 forward is too slow on 1 CPU)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
+    assert "params" in shapes
+
+
+def test_vector_quantizer_roundtrip():
+    from neurosis_tpu.modules.regularizers import VectorQuantizer
+
+    vq = VectorQuantizer(n_e=16, e_dim=4, log_perplexity=True)
+    z = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 4).astype(np.float32))
+    variables = vq.init(jax.random.PRNGKey(0), z)
+    (z_q, log), _ = vq.apply(variables, z, mutable=[])
+    assert z_q.shape == z.shape
+    assert "loss/vq" in log and np.isfinite(float(log["loss/vq"]))
+
+    # straight-through: gradient flows to z
+    g = jax.grad(lambda zz: float(0) + vq.apply(variables, zz)[0].sum())(z)
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_schedulers_match_reference_formulas():
+    from neurosis_tpu.schedulers import cosine_with_warmup, lambda_linear_scheduler
+
+    f = cosine_with_warmup(10, 100)
+    assert f(0) == 0.0
+    assert f(10) == pytest.approx(1.0)
+    assert f(100) == pytest.approx(0.0, abs=1e-6)
+
+    g = lambda_linear_scheduler([5], [0.1], [1.0], [0.0], [50])
+    assert g(0) == pytest.approx(0.0)
+    # reference formula: f_min + (f_max-f_min)*(cycle_len - n)/cycle_len
+    assert g(5) == pytest.approx(0.1 + 0.9 * 45 / 50)
+    assert g(50) == pytest.approx(0.1)
+
+
+def test_ema_warmup_decay():
+    from neurosis_tpu.modules.ema import ema_copy_to, ema_init, ema_update
+
+    params = {"w": jnp.ones((4,))}
+    state = ema_init(params)
+    new_params = {"w": jnp.zeros((4,))}
+    state = ema_update(state, new_params, decay=0.9999)
+    # warmup: decay = min(0.9999, (1+1)/(10+1)) = 2/11
+    expected = 1.0 - (1.0 - 2.0 / 11.0) * 1.0
+    np.testing.assert_allclose(np.asarray(state.params["w"]), 1.0 - (1 - 2 / 11), rtol=1e-5)
+    out = ema_copy_to(state, params)
+    assert out["w"].dtype == params["w"].dtype
+
+
+def test_model_summary():
+    from neurosis_tpu.utils.summary import count_params, summarize
+
+    params = {"a": {"kernel": jnp.zeros((4, 4)), "bias": jnp.zeros((4,))}, "b": {"w": jnp.zeros((2,))}}
+    assert count_params(params) == 22
+    table = summarize(params)
+    assert "TOTAL" in table and "22" in table

@@ -49,6 +49,8 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     # 1024px-class: 128x128 latents. Batch sized for a single v5e chip.
     batch, res = (1, 128) if on_tpu else (1, 16)
+    batch = int(os.environ.get("NEUROSIS_BENCH_BATCH", batch))
+    use_remat = os.environ.get("NEUROSIS_BENCH_REMAT", "1") not in ("0", "false")
 
     model = UNetModel(
         in_channels=4,
@@ -63,7 +65,7 @@ def main() -> None:
         num_classes="sequential",
         adm_in_channels=2816,
         use_linear_in_transformer=True,
-        use_checkpoint=True,
+        use_checkpoint=use_remat,
         dtype=jnp.bfloat16,
     )
 
@@ -98,34 +100,49 @@ def main() -> None:
         out = model.apply({"params": p}, x + noise, t, ctx, y=y, deterministic=False)
         return jnp.mean(jnp.square(out.astype(jnp.float32) - noise.astype(jnp.float32)))
 
-    @jax.jit
-    def train_step(p, opt_state, x, t, ctx, y, key):
+    def train_step(p, opt_state, key):
         noise = jax.random.normal(key, x.shape, x.dtype)
         loss, grads = jax.value_and_grad(loss_fn)(p, x, t, ctx, y, noise)
         updates, opt_state = opt.update(grads, opt_state, p)
         p = optax.apply_updates(p, updates)
         return p, opt_state, loss
 
-    # single lowering: compile once, read step FLOPs off the same executable
+    iters = 10 if on_tpu else 2
+
+    # Measurement methodology for the remote-attached TPU: per-call dispatch
+    # latency is ~75ms and block_until_ready does NOT guarantee execution
+    # completion there, so the step loop runs INSIDE one jit via lax.scan and
+    # completion is forced by a host transfer of the summed losses.
+    @jax.jit
+    def run_n(p, opt_state, key):
+        def body(carry, _):
+            p, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            p, opt_state, loss = train_step(p, opt_state, sub)
+            return (p, opt_state, key), loss
+
+        (p, opt_state, _), losses = jax.lax.scan(body, (p, opt_state, key), None, length=iters)
+        return p, opt_state, losses
+
     key = jax.random.PRNGKey(1)
-    print("bench: tracing train step...", file=sys.stderr, flush=True)
-    lowered = train_step.lower(params, opt_state, x, t, ctx, y, key)
-    print("bench: compiling train step...", file=sys.stderr, flush=True)
+    print("bench: tracing scanned step loop...", file=sys.stderr, flush=True)
+    lowered = run_n.lower(params, opt_state, key)
+    print("bench: compiling...", file=sys.stderr, flush=True)
     compiled = lowered.compile()
-    print("bench: compiled; timing...", file=sys.stderr, flush=True)
     try:
         cost = compiled.cost_analysis()
-        step_flops = float(cost.get("flops", 0.0))
+        step_flops = float(cost.get("flops", 0.0)) / iters
     except Exception:
         step_flops = 0.0
-    params, opt_state, loss = train_step(params, opt_state, x, t, ctx, y, key)
-    jax.block_until_ready(loss)
 
-    iters = 10 if on_tpu else 2
+    print("bench: warmup run...", file=sys.stderr, flush=True)
+    _, _, losses = run_n(params, opt_state, key)
+    assert np.isfinite(float(jnp.sum(losses))), "non-finite loss in bench"
+
+    print("bench: timing...", file=sys.stderr, flush=True)
     start = time.perf_counter()
-    for i in range(iters):
-        params, opt_state, loss = train_step(params, opt_state, x, t, ctx, y, jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
+    _, _, losses = run_n(params, opt_state, jax.random.PRNGKey(2))
+    _ = float(jnp.sum(losses))  # host transfer = true completion barrier
     dt = (time.perf_counter() - start) / iters
 
     steps_per_sec = 1.0 / dt

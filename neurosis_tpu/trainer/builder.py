@@ -67,6 +67,51 @@ def build_first_stage(node: Optional[dict]) -> Optional[AutoencoderKL]:
     return AutoencoderKL(ddconfig=dict(ddconfig), embed_dim=args.get("embed_dim", 4))
 
 
+def build_autoencoding_engine(model_node: dict):
+    """The reference AutoencodingEngine/AutoencoderKL `model:` node → VAE engine
+    (models/autoencoder.py:134-505 config surface)."""
+    import optax as _optax
+
+    from neurosis_tpu.losses.vae_loss import AutoencoderPerceptual
+    from neurosis_tpu.models.vae import Decoder, Encoder
+    from neurosis_tpu.trainer.vae_engine import AutoencodingEngine
+
+    args = dict(model_node.get("init_args") or {})
+    dd = dict(args.get("ddconfig") or {})
+    dd.pop("attn_type", None)
+    double_z = dd.pop("double_z", True)
+    common = dict(
+        ch=dd.get("ch", 128),
+        ch_mult=dd.get("ch_mult", [1, 2, 4, 4]),
+        num_res_blocks=dd.get("num_res_blocks", 2),
+        attn_resolutions=dd.get("attn_resolutions", []),
+        resolution=dd.get("resolution", 256),
+        z_channels=dd.get("z_channels", 4),
+        dropout=dd.get("dropout", 0.0),
+    )
+    encoder = Encoder(in_channels=dd.get("in_channels", 3), double_z=double_z, **common)
+    decoder = Decoder(out_ch=dd.get("out_ch", 3), **common)
+
+    loss = instantiate(args["loss"]) if isinstance(args.get("loss"), dict) else AutoencoderPerceptual()
+    g_opt = build_optimizer(args.get("optimizer"), args.get("scheduler"))
+    d_opt = build_optimizer(args.get("disc_optimizer")) if args.get("disc_optimizer") else _optax.adam(1e-4)
+
+    disc_start = getattr(loss, "disc_start", -1)
+    engine = AutoencodingEngine(
+        encoder=encoder,
+        decoder=decoder,
+        loss=loss,
+        g_optimizer=g_opt,
+        d_optimizer=d_opt,
+        kl_weight=float(args.get("kl_weight", 0.0)),
+        input_key=args.get("input_key", "image"),
+        use_ema=bool(args.get("use_ema", False)),
+        disc_start=disc_start if isinstance(disc_start, int) else -1,
+    )
+    engine.ckpt_path = args.get("ckpt_path")
+    return engine
+
+
 def build_diffusion_engine(model_node: dict) -> DiffusionEngine:
     """The reference `model:` YAML node → DiffusionEngine."""
     args = dict(model_node.get("init_args") or {})

@@ -39,9 +39,14 @@ def run_fit(args) -> int:
 
     model_node = cfg["model"]
     cls_path = model_node.get("class_path", "")
-    if "DiffusionEngine" not in cls_path:
-        raise NotImplementedError(f"CLI currently drives DiffusionEngine configs, got {cls_path}")
-    engine = build_diffusion_engine(model_node)
+    if "DiffusionEngine" in cls_path:
+        engine = build_diffusion_engine(model_node)
+    elif "Autoencod" in cls_path or "AutoencoderKL" in cls_path:
+        from neurosis_tpu.trainer.builder import build_autoencoding_engine
+
+        engine = build_autoencoding_engine(model_node)
+    else:
+        raise NotImplementedError(f"unsupported model class_path {cls_path}")
 
     data_node = cfg["data"]
     dataset = instantiate(data_node)

@@ -121,12 +121,26 @@ class Trainer:
 
     # -- batch prep --------------------------------------------------------
 
+    def _caption_chunks(self) -> int:
+        """Max extended_chunks among the engine's text embedders
+        (clip.py:96-125 extended mode; 0/1 = standard 77-token prompts)."""
+        chunks = 0
+        conditioner = getattr(self.engine, "conditioner", None)
+        for emb in getattr(conditioner, "embedders", ()) or ():
+            if getattr(emb, "input_key", None) == self.caption_key and hasattr(emb, "extended_chunks"):
+                chunks = max(chunks, int(emb.extended_chunks or 0))
+        return chunks
+
     def prepare_batch(self, batch: dict) -> dict:
         """Host batch → numeric device batch (tokenize captions, drop strings)."""
         out = {}
+        chunks = self._caption_chunks()
         for k, v in batch.items():
             if k == self.caption_key and isinstance(v, (list, tuple)):
-                out[f"{k}_ids"] = self.tokenizer(list(v))
+                if chunks > 1 and hasattr(self.tokenizer, "tokenize_extended"):
+                    out[f"{k}_ids"] = self.tokenizer.tokenize_extended(list(v), chunks)
+                else:
+                    out[f"{k}_ids"] = self.tokenizer(list(v))
             elif isinstance(v, np.ndarray):
                 out[k] = v
             elif isinstance(v, (list, tuple)) and v and isinstance(v[0], (int, float)):
@@ -144,6 +158,55 @@ class Trainer:
 
     def fit(self, batch_iter_factory: Callable[[], Iterable[dict]]):
         """Run training over batches from `batch_iter_factory()` per epoch."""
+        if hasattr(self.engine, "g_step"):
+            return self._fit_vae(batch_iter_factory)
+        return self._fit_diffusion(batch_iter_factory)
+
+    def _fit_vae(self, batch_iter_factory):
+        """VAE/GAN loop: alternating G/D steps (models/autoencoder.py:280-293)."""
+        rng = jax.random.PRNGKey(self.seed)
+        state = None
+        g_step = d_step = None
+        global_step = 0
+        epoch = 0
+        try:
+            while global_step < self.max_steps and (self.max_epochs is None or epoch < self.max_epochs):
+                batch_idx = 0
+                for batch in batch_iter_factory():
+                    prepped = self.prepare_batch(batch)
+                    if state is None:
+                        state = self.engine.init(rng, prepped)
+                        g_step = jax.jit(self.engine.g_step)
+                        if self.engine.has_discriminator and self.engine.d_optimizer is not None:
+                            d_step = jax.jit(self.engine.d_step)
+                        for cb in self.callbacks:
+                            if hasattr(cb, "on_fit_start"):
+                                cb.on_fit_start(self, state)
+                    idx = self.engine.train_step_schedule(batch_idx, int(state.step))
+                    if idx == 1 and d_step is not None:
+                        state, metrics = d_step(state, prepped)
+                    else:
+                        state, metrics = g_step(state, prepped)
+                    batch_idx += 1
+                    global_step = int(state.step)
+                    if global_step % self.log_every == 0:
+                        self.logger.log(metrics, global_step)
+                    for cb in self.callbacks:
+                        if hasattr(cb, "on_train_batch_end"):
+                            cb.on_train_batch_end(self, state, {}, batch, metrics, global_step)
+                    if global_step >= self.max_steps:
+                        break
+                epoch += 1
+        except Exception:
+            if state is not None:
+                self._crash_dump(state)
+            raise
+        for cb in self.callbacks:
+            if hasattr(cb, "on_fit_end"):
+                cb.on_fit_end(self, state)
+        return state, {}
+
+    def _fit_diffusion(self, batch_iter_factory: Callable[[], Iterable[dict]]):
         rng = jax.random.PRNGKey(self.seed)
 
         first = None

@@ -66,10 +66,23 @@ class AutoencodingEngine:
     use_ema: bool = False
     ema_decay: float = 0.9999
     disc_start: int = -1
+    # selective freeze (DiffusersAutoencodingEngine parity, autoencoder_hf.py:111-136)
+    freeze_encoder: bool = False
+    freeze_decoder: bool = False
 
     @property
     def has_discriminator(self) -> bool:
         return isinstance(self.loss, AutoencoderLPIPSWithDiscr)
+
+    def _g_keys(self) -> tuple:
+        keys = []
+        if not self.freeze_encoder:
+            keys.append("encoder")
+        if not self.freeze_decoder:
+            keys.append("decoder")
+        if not keys:
+            raise ValueError("both encoder and decoder frozen — nothing to train")
+        return tuple(keys)
 
     # ------------------------------------------------------------------
 
@@ -89,7 +102,7 @@ class AutoencodingEngine:
         batch_stats = loss_vars.get("batch_stats", {})
 
         params = {"encoder": enc_params, "decoder": dec_params, "loss": loss_params}
-        g_params = _tree_paths_with(params, ("encoder", "decoder"))
+        g_params = _tree_paths_with(params, self._g_keys())
         g_opt_state = self.g_optimizer.init(g_params)
         d_opt_state = None
         if self.has_discriminator and self.d_optimizer is not None:
@@ -160,7 +173,7 @@ class AutoencodingEngine:
                 log = dict(log, **{"train/loss/kl": kl})
             return total, (log, new_stats)
 
-        g_params = _tree_paths_with(state.params, ("encoder", "decoder"))
+        g_params = _tree_paths_with(state.params, self._g_keys())
         (total, (log, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_params)
         updates, g_opt_state = self.g_optimizer.update(grads, state.g_opt_state, g_params)
         g_params = optax.apply_updates(g_params, updates)

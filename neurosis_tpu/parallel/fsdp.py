@@ -31,8 +31,9 @@ def fsdp_partition_spec(shape, fsdp_size: int, min_size: int = MIN_SHARD_SIZE) -
         return P()
     # prefer the last axis (output features — matches TP-friendly layouts),
     # else any largest divisible axis
-    order = sorted(range(len(shape)), key=lambda i: (shape[i], i == len(shape) - 1), reverse=True)
-    for ax in order:
+    last = len(shape) - 1
+    rest = sorted((i for i in range(len(shape)) if i != last), key=lambda i: shape[i], reverse=True)
+    for ax in [last] + rest:
         if shape[ax] % fsdp_size == 0:
             spec = [None] * len(shape)
             spec[ax] = "fsdp"

@@ -219,3 +219,45 @@ class DiffusionEngine:
         if self.sampler is None:
             raise ValueError("no sampler configured")
         return self.sampler(self.denoiser_fn(params), randn, cond, uc)
+
+    def log_images(
+        self,
+        params: dict,
+        frozen: dict,
+        batch: dict,
+        num_img: int = 4,
+        do_sample: bool = True,
+        rng: Optional[jax.Array] = None,
+        no_cond_log: bool = False,
+        captions: Optional[Sequence[str]] = None,
+    ) -> dict:
+        """inputs / reconstructions / samples (+ rendered conditioning text)
+        — models/diffusion.py:315-420. Returns numpy NHWC images in [-1,1]."""
+        import numpy as np
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        x = batch[self.input_key][:num_img]
+        n = x.shape[0]
+        log: dict = {"inputs": np.asarray(x)}
+
+        enc_rng, sample_rng = jax.random.split(rng)
+        z = self.encode_first_stage(frozen, x, enc_rng)
+        log["reconstructions"] = np.asarray(self.decode_first_stage(frozen, z))
+
+        if not no_cond_log and captions is not None:
+            from neurosis_tpu.utils.sgm import log_txt_as_img
+
+            wh = (x.shape[2], x.shape[1])
+            log["conditioning"] = log_txt_as_img(wh, list(captions[:n]))
+
+        if do_sample and self.sampler is not None:
+            cond_params = {"params": self._merged_cond_params(params, frozen)}
+            small = {
+                k: (v[:n] if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1 and v.shape[0] >= n else v)
+                for k, v in batch.items()
+                if hasattr(v, "shape") or k in ("uncond_ids",)
+            }
+            c, uc = self.conditioner.get_unconditional_conditioning(cond_params, small)
+            samples = self.sample(params, frozen, c, uc, sample_rng, z.shape)
+            log["samples"] = np.asarray(self.decode_first_stage(frozen, samples))
+        return log

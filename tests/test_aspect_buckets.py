@@ -8,6 +8,13 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# reference-parity tests need the read-only reference checkout
+import pathlib as _pl
+
+pytestmark = pytest.mark.skipif(
+    not _pl.Path("/root/reference/src/neurosis").exists(), reason="reference tree not mounted"
+)
+
 from neurosis_tpu.data.aspect import AspectBucketList, SDXLBucketList, WDXLBucketList2
 
 REF = Path("/root/reference/src/neurosis/dataset/aspect/bucket.py")

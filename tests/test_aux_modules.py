@@ -8,6 +8,10 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 
+@pytest.mark.skipif(
+    not __import__("pathlib").Path("/root/reference/src/neurosis").exists(),
+    reason="reference tree not mounted",
+)
 def test_sampling2_parity_with_reference():
     import importlib.util
     import sys

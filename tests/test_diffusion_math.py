@@ -4,6 +4,13 @@ loaded directly from /root/reference (SURVEY.md §4 mandate)."""
 import numpy as np
 import pytest
 
+# reference-parity tests need the read-only reference checkout
+import pathlib as _pl
+
+pytestmark = pytest.mark.skipif(
+    not _pl.Path("/root/reference/src/neurosis").exists(), reason="reference tree not mounted"
+)
+
 from tests._reference_loader import load_reference_math
 
 import neurosis_tpu.diffusion as ntd

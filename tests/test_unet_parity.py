@@ -7,6 +7,13 @@ Covers SD1.5-style (no classes, conv proj, num_heads) and SDXL-style
 import numpy as np
 import pytest
 
+# reference-parity tests need the read-only reference checkout
+import pathlib as _pl
+
+pytestmark = pytest.mark.skipif(
+    not _pl.Path("/root/reference/src/neurosis").exists(), reason="reference tree not mounted"
+)
+
 from _reference_loader import load_reference_unet
 
 jax = pytest.importorskip("jax")

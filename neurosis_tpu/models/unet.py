@@ -183,6 +183,7 @@ class UNetModel(nn.Module):
     disable_middle_transformer: bool = False
     use_linear_in_transformer: bool = False
     adm_in_channels: Optional[int] = None
+    context_axis: Optional[str] = None  # ring self-attention mesh axis (seq parallel)
     dtype: Optional[Dtype] = None
 
     def _res_blocks(self) -> Sequence[int]:
@@ -279,6 +280,7 @@ class UNetModel(nn.Module):
                 disable_self_attn=disable_sa,
                 use_linear=self.use_linear_in_transformer,
                 use_checkpoint=self.use_checkpoint,
+                context_axis=self.context_axis,
                 dtype=self.dtype,
                 name=name,
             )(h, context, deterministic)

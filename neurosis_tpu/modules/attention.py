@@ -68,6 +68,7 @@ class CrossAttention(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dropout: float = 0.0
+    context_axis: Optional[str] = None  # ring-attention mesh axis (self-attn only)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -90,7 +91,9 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, t, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
-        out = dot_product_attention(q, k, v)
+        # ring attention only for self-attention (q and kv share the sharded seq)
+        axis = self.context_axis if context is None else None
+        out = dot_product_attention(q, k, v, context_axis=axis)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, inner)
 
         out = Dense(self.query_dim, dtype=self.dtype, name="to_out.0")(out)
@@ -109,6 +112,7 @@ class BasicTransformerBlock(nn.Module):
     context_dim: Optional[int] = None
     gated_ff: bool = True
     disable_self_attn: bool = False
+    context_axis: Optional[str] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -126,6 +130,7 @@ class BasicTransformerBlock(nn.Module):
             heads=self.n_heads,
             dim_head=self.d_head,
             dropout=self.dropout,
+            context_axis=self.context_axis,
             dtype=self.dtype,
             name="attn1",
         )(h, context=context if self.disable_self_attn else None, deterministic=deterministic)
@@ -175,6 +180,7 @@ class SpatialTransformer(nn.Module):
     disable_self_attn: bool = False
     use_linear: bool = False
     use_checkpoint: bool = True
+    context_axis: Optional[str] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -207,6 +213,7 @@ class SpatialTransformer(nn.Module):
                 dropout=self.dropout,
                 context_dim=self.context_dim,
                 disable_self_attn=self.disable_self_attn,
+                context_axis=self.context_axis,
                 dtype=self.dtype,
                 name=f"transformer_blocks.{d}",
             )(x, context, deterministic)

@@ -58,8 +58,17 @@ def dot_product_attention(
     k: jax.Array,
     v: jax.Array,
     mask: Optional[jax.Array] = None,
+    context_axis: Optional[str] = None,
 ) -> jax.Array:
-    """softmax(q kᵀ / sqrt(d)) v over [B, H, S, D] tensors."""
+    """softmax(q kᵀ / sqrt(d)) v over [B, H, S, D] tensors.
+
+    context_axis: when set (inside shard_map with that mesh axis), self-attention
+    runs as ring attention over the axis — sequence parallelism over ICI.
+    """
+    if context_axis is not None:
+        from .ring_attention import ring_self_attention
+
+        return ring_self_attention(q, k, v, axis_name=context_axis)
     if _use_pallas() and mask is None and q.shape[-2] >= _PALLAS_MIN_SEQ:
         from .flash_attention import flash_attention
 

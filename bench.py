@@ -9,6 +9,7 @@ from __future__ import annotations
 import json
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -50,7 +51,9 @@ def main() -> None:
     # 1024px-class: 128x128 latents. Batch sized for a single v5e chip.
     batch, res = (1, 128) if on_tpu else (1, 16)
     batch = int(os.environ.get("NEUROSIS_BENCH_BATCH", batch))
-    use_remat = os.environ.get("NEUROSIS_BENCH_REMAT", "1") not in ("0", "false")
+    remat_env = os.environ.get("NEUROSIS_BENCH_REMAT", "1")
+    use_remat = remat_env not in ("0", "false")
+    remat_policy = "dots" if remat_env == "dots" else "full"
 
     model = UNetModel(
         in_channels=4,
@@ -66,6 +69,7 @@ def main() -> None:
         adm_in_channels=2816,
         use_linear_in_transformer=True,
         use_checkpoint=use_remat,
+        remat_policy=remat_policy,
         dtype=jnp.bfloat16,
     )
 
@@ -113,7 +117,7 @@ def main() -> None:
     # latency is ~75ms and block_until_ready does NOT guarantee execution
     # completion there, so the step loop runs INSIDE one jit via lax.scan and
     # completion is forced by a host transfer of the summed losses.
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def run_n(p, opt_state, key):
         def body(carry, _):
             p, opt_state, key = carry
@@ -131,17 +135,20 @@ def main() -> None:
     compiled = lowered.compile()
     try:
         cost = compiled.cost_analysis()
-        step_flops = float(cost.get("flops", 0.0)) / iters
+        # XLA cost analysis counts a while/scan body ONCE (verified: the
+        # 10-step scan reports the same flops as a single-step executable),
+        # so this is already per-step flops.
+        step_flops = float(cost.get("flops", 0.0))
     except Exception:
         step_flops = 0.0
 
     print("bench: warmup run...", file=sys.stderr, flush=True)
-    _, _, losses = run_n(params, opt_state, key)
+    params, opt_state, losses = run_n(params, opt_state, key)
     assert np.isfinite(float(jnp.sum(losses))), "non-finite loss in bench"
 
     print("bench: timing...", file=sys.stderr, flush=True)
     start = time.perf_counter()
-    _, _, losses = run_n(params, opt_state, jax.random.PRNGKey(2))
+    params, opt_state, losses = run_n(params, opt_state, jax.random.PRNGKey(2))
     _ = float(jnp.sum(losses))  # host transfer = true completion barrier
     dt = (time.perf_counter() - start) / iters
 

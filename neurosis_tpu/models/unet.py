@@ -184,6 +184,7 @@ class UNetModel(nn.Module):
     use_linear_in_transformer: bool = False
     adm_in_channels: Optional[int] = None
     context_axis: Optional[str] = None  # ring self-attention mesh axis (seq parallel)
+    remat_policy: str = "full"  # transformer-block remat: full | dots | none
     dtype: Optional[Dtype] = None
 
     def _res_blocks(self) -> Sequence[int]:
@@ -280,6 +281,7 @@ class UNetModel(nn.Module):
                 disable_self_attn=disable_sa,
                 use_linear=self.use_linear_in_transformer,
                 use_checkpoint=self.use_checkpoint,
+                remat_policy=self.remat_policy,
                 context_axis=self.context_axis,
                 dtype=self.dtype,
                 name=name,

@@ -180,6 +180,7 @@ class SpatialTransformer(nn.Module):
     disable_self_attn: bool = False
     use_linear: bool = False
     use_checkpoint: bool = True
+    remat_policy: str = "full"  # full | dots | none (jax.checkpoint policy)
     context_axis: Optional[str] = None
     dtype: Optional[Dtype] = None
 
@@ -203,8 +204,15 @@ class SpatialTransformer(nn.Module):
             x = Dense(inner, dtype=self.dtype, name="proj_in")(x)
 
         block_cls = BasicTransformerBlock
-        if self.use_checkpoint:
-            block_cls = nn.remat(BasicTransformerBlock, static_argnums=(2,))
+        if self.use_checkpoint and self.remat_policy != "none":
+            import jax.ad_checkpoint as adc
+
+            policy = None  # "full": recompute everything
+            if self.remat_policy == "dots":
+                # keep matmul outputs, recompute elementwise — less recompute
+                # FLOPs than full remat at moderate memory cost
+                policy = adc.checkpoint_policies.dots_with_no_batch_dims_saveable
+            block_cls = nn.remat(BasicTransformerBlock, static_argnums=(2,), policy=policy)
         for d in range(self.depth):
             x = block_cls(
                 dim=inner,

@@ -101,6 +101,14 @@ class ImageLogger:
             out_dir / f"inputs_gs-{step:06d}.png",
             label=f"step {step}",
         )
+        wb = getattr(trainer.logger, "wandb", None)
+        if wb is not None:
+            import wandb as _wandb
+
+            wb.log(
+                {f"{self.split}/samples": _wandb.Image(str(out_dir / f"samples_gs-{step:06d}.png"))},
+                step=step,
+            )
         logger.info(f"logged sample images at step {step} → {out_dir}")
 
 

@@ -1,0 +1,87 @@
+"""Trainer loop plumbing + data sampler/collate contracts."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from neurosis_tpu.data.sampler import ShardedBatchSampler  # noqa: E402
+from neurosis_tpu.data.utils import clean_caption, collate_dict_stack  # noqa: E402
+
+
+def test_sharded_sampler_rank_strided_contract():
+    batches = [[i, i + 100] for i in range(10)]
+    shards = []
+    for rank in range(4):
+        s = ShardedBatchSampler(batches, num_replicas=4, rank=rank, shuffle=True, seed=7)
+        s.set_epoch(3)
+        shards.append(list(iter(s)))
+    # padded to divisible: every rank sees the same count
+    lens = {len(s) for s in shards}
+    assert lens == {3}
+    # same epoch+seed ⇒ deterministic
+    s2 = ShardedBatchSampler(batches, num_replicas=4, rank=0, shuffle=True, seed=7)
+    s2.set_epoch(3)
+    assert list(iter(s2)) == shards[0]
+    # different epoch ⇒ different order
+    s3 = ShardedBatchSampler(batches, num_replicas=4, rank=0, shuffle=True, seed=7)
+    s3.set_epoch(4)
+    assert list(iter(s3)) != shards[0]
+
+
+def test_collate_dict_stack():
+    samples = [
+        {"image": np.zeros((4, 4, 3), np.float32), "caption": "a", "size": (4, 4)},
+        {"image": np.ones((4, 4, 3), np.float32), "caption": "b", "size": (4, 4)},
+    ]
+    out = collate_dict_stack(samples)
+    assert out["image"].shape == (2, 4, 4, 3)
+    assert out["caption"] == ["a", "b"]
+    assert out["size"].shape == (2, 2)
+
+
+def test_clean_caption_shuffle_keep():
+    rng = np.random.default_rng(0)
+    out = clean_caption(
+        "first, b_tag, c tag, d", shuffle_tags=True, shuffle_keep=1, tag_sep=", ", word_sep=" ", rng=rng
+    )
+    tags = out.split(", ")
+    assert tags[0] == "first"  # kept in place
+    assert set(tags) == {"first", "b tag", "c tag", "d"}  # underscores normalized
+
+
+def test_prepare_batch_tokenizes_and_injects_uncond():
+    from neurosis_tpu.models.text_encoder.tokenizer import make_test_tokenizer
+    from neurosis_tpu.trainer.loop import Trainer
+
+    class _Eng:
+        input_key = "image"
+        conditioner = None
+
+    t = Trainer(_Eng(), tokenizer=make_test_tokenizer(max_length=8), default_root_dir="/tmp/nt_loop_test")
+    batch = {"image": np.zeros((2, 8, 8, 3), np.float32), "caption": ["hello", "world"]}
+    out = t.prepare_batch(batch)
+    assert out["caption_ids"].shape == (2, 8)
+    assert out["uncond_ids"].shape == (1, 8)
+    assert "caption" not in out  # strings dropped from the device batch
+
+
+def test_prepare_batch_extended_chunks():
+    from neurosis_tpu.models.text_encoder.tokenizer import make_test_tokenizer
+    from neurosis_tpu.modules.encoders import FrozenCLIPEmbedder, GeneralConditioner, with_embedder_names
+    from neurosis_tpu.trainer.loop import Trainer
+
+    cond = GeneralConditioner(
+        embedders=with_embedder_names(
+            [FrozenCLIPEmbedder(input_key="caption", layer="last", extended_chunks=3, max_length=8,
+                                vocab_size=512, width=16, layers=1, heads=2)]
+        )
+    )
+
+    class _Eng:
+        input_key = "image"
+        conditioner = cond
+
+    t = Trainer(_Eng(), tokenizer=make_test_tokenizer(max_length=8), default_root_dir="/tmp/nt_loop_test2")
+    out = t.prepare_batch({"caption": ["a b c d e f g h i j k l"]})
+    assert out["caption_ids"].shape == (1, 3, 8)

@@ -36,6 +36,9 @@ def main() -> None:
 
     import jax
 
+    if os.environ.get("NEUROSIS_BENCH_MODE", "sdxl") == "vae":
+        return vae_encode_bench()
+
     # persistent compile cache: repeated bench runs skip the (slow) compile
     cache_dir = os.path.expanduser("~/.cache/neurosis_tpu_xla")
     os.makedirs(cache_dir, exist_ok=True)
@@ -172,6 +175,70 @@ def main() -> None:
                     "batch": batch,
                     "latent_res": res,
                 },
+            }
+        )
+    )
+
+
+def vae_encode_bench() -> None:
+    """Secondary metric: SDXL VAE encode imgs/sec at 1024px (BASELINE.json:2)."""
+    import os
+
+    import jax
+
+    cache_dir = os.path.expanduser("~/.cache/neurosis_tpu_xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+    import jax.numpy as jnp
+
+    from neurosis_tpu.models.autoencoder import AutoencoderKL
+
+    on_tpu = jax.default_backend() == "tpu"
+    batch, res = (8, 1024) if on_tpu else (1, 64)
+    dd = dict(double_z=True, z_channels=4, resolution=res, in_channels=3, out_ch=3,
+              ch=128 if on_tpu else 32, ch_mult=[1, 2, 4, 4] if on_tpu else [1, 2],
+              num_res_blocks=2 if on_tpu else 1, attn_resolutions=[], dropout=0.0)
+    vae = AutoencoderKL(ddconfig=dd, embed_dim=4, dtype=jnp.bfloat16 if on_tpu else None)
+
+    x = jnp.zeros((batch, res, res, 3), jnp.bfloat16 if on_tpu else jnp.float32)
+    shapes = jax.eval_shape(lambda: vae.init(jax.random.PRNGKey(0), x))["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def init_params(key):
+        ks = jax.random.split(key, len(leaves))
+        return jax.tree_util.tree_unflatten(
+            treedef, [jax.random.normal(k, s.shape, s.dtype) * 0.02 for k, s in zip(ks, leaves)]
+        )
+
+    params = init_params(jax.random.PRNGKey(0))
+
+    iters = 10 if on_tpu else 2
+
+    @jax.jit
+    def encode_n(p, x):
+        def body(acc, _):
+            m = vae.apply({"params": p}, x, method="encode")
+            return acc + jnp.mean(m.astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
+        return acc
+
+    print("bench[vae]: compiling...", file=sys.stderr, flush=True)
+    _ = float(encode_n(params, x))  # warmup + completion barrier
+    start = time.perf_counter()
+    _ = float(encode_n(params, x))
+    dt = (time.perf_counter() - start) / iters
+    imgs_per_sec = batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "sdxl_vae_encode_imgs_per_sec" if on_tpu else "vae_tiny_encode_imgs_per_sec_cpu",
+                "value": round(imgs_per_sec, 3),
+                "unit": "imgs/s",
+                "vs_baseline": 0.0,
+                "detail": {"batch": batch, "res": res, "ms_per_batch": round(dt * 1e3, 2)},
             }
         )
     )

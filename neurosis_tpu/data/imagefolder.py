@@ -239,3 +239,53 @@ class FolderVAEDataset(FolderSquareDataset):
         path = self.paths[index]
         image, _ = load_crop_image_file(str(path), self.resolution, rng=self.rng)
         return {self.image_key: image_to_array(image)}
+
+
+class MemeAspectDataset(ImageFolderDataset):
+    """Aspect dataset with synthetic captions sampled from a global tag list
+    (parity: dataset/imagefolder/meme.py:26-204): each image gets
+    `tags_per_img` random tags from `tag_list_path`, optionally prepending
+    `prepend_tag` with probability `prepend_rate`."""
+
+    def __init__(
+        self,
+        folder,
+        tag_list_path="tag_list.txt",
+        tags_per_img: int = 50,
+        prepend_tag: Optional[str] = None,
+        prepend_rate: float = 0.0,
+        **kwargs,
+    ):
+        tag_path = Path(tag_list_path)
+        if not tag_path.is_absolute():
+            tag_path = Path(folder) / tag_path
+        self.tag_list = [t.strip() for t in tag_path.read_text().splitlines() if t.strip()]
+        self.tags_per_img = tags_per_img
+        self.prepend_tag = prepend_tag
+        self.prepend_rate = prepend_rate
+        kwargs.setdefault("process_tags", False)
+        super().__init__(folder, **kwargs)
+
+    def _load_meta(self, image_path: Path) -> dict:
+        from PIL import Image
+
+        with Image.open(image_path) as im:
+            resolution = np.asarray(im.size, np.int32)
+        aspect = float(resolution[0]) / float(resolution[1])
+        return dict(
+            image_path=str(image_path),
+            caption="",  # synthesized per __getitem__
+            aspect=np.float32(aspect),
+            resolution=resolution,
+            bucket_idx=np.int32(self.buckets.bucket_idx(aspect)),
+        )
+
+    def __getitem__(self, index: int) -> dict:
+        sample = super().__getitem__(index)
+        n = min(self.tags_per_img, len(self.tag_list))
+        idxs = self.rng.choice(len(self.tag_list), size=n, replace=False)
+        tags = [self.tag_list[i] for i in idxs]
+        if self.prepend_tag and self.rng.random() < self.prepend_rate:
+            tags = [self.prepend_tag] + tags
+        sample[self.caption_key] = self.tag_sep.join(tags)
+        return sample

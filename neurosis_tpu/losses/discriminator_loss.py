@@ -122,3 +122,31 @@ def adaptive_disc_weight(
     """d_weight from last-layer grad norms (discriminator_loss.py:198-210)."""
     d = jnp.linalg.norm(nll_grad_last) / (jnp.linalg.norm(g_grad_last) + 1e-4)
     return jax.lax.stop_gradient(jnp.clip(d, 0.0, 1e4)) * disc_weight
+
+
+class VQLPIPSWithDiscriminator(GeneralLPIPSWithDiscriminator):
+    """VQ-GAN loss (parity: autoencoding/losses/vqperceptual.py:16): the sgm
+    GAN loss + codebook-loss passthrough (+ perplexity logging). Call with
+    regularization_log={'loss/vq': ..., 'perplexity': ...} from the VQ
+    regularizer; codebook_weight scales the VQ term."""
+
+    codebook_weight: float = 1.0
+
+    def __call__(self, inputs, recons, global_step, optimizer_idx=0,
+                 regularization_log=None, d_weight=None, split="train", train=True):
+        out = super().__call__(
+            inputs, recons, global_step,
+            optimizer_idx=optimizer_idx,
+            regularization_log=None,  # VQ term handled below with its own weight
+            d_weight=d_weight, split=split, train=train,
+        )
+        loss, log = out
+        if optimizer_idx == 0 and regularization_log:
+            if "loss/vq" in regularization_log:
+                q = jnp.mean(regularization_log["loss/vq"])
+                loss = loss + self.codebook_weight * q
+                log[f"{split}/loss/vq"] = q
+                log[f"{split}/loss/total"] = loss
+            if "perplexity" in regularization_log:
+                log[f"{split}/scalars/perplexity"] = regularization_log["perplexity"]
+        return loss, log

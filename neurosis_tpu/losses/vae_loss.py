@@ -152,3 +152,33 @@ class AutoencoderLPIPSWithDiscr(nn.Module):
             return d_loss, log
 
         raise ValueError(f"Unknown optimizer_idx {optimizer_idx}")
+
+
+class LatentLPIPS(nn.Module):
+    """LPIPS between decoded latents (parity: autoencoding/losses/latent_lpips.py:10).
+
+    `decoder_apply` is a pure callable latents→images (the engine's frozen
+    decode); distance is LPIPS on the decoded pairs (+ optional latent L2)."""
+
+    perceptual_weight: float = 1.0
+    latent_weight: float = 1.0
+    lpips_type: str = "vgg"
+
+    @nn.compact
+    def __call__(self, decoder_apply, latent_inputs: jax.Array, latent_preds: jax.Array,
+                 split: str = "train"):
+        log = {}
+        loss = jnp.zeros(latent_inputs.shape[0])
+        if self.latent_weight > 0:
+            l2 = jnp.mean((latent_inputs - latent_preds) ** 2, axis=tuple(range(1, latent_inputs.ndim)))
+            loss = loss + self.latent_weight * l2
+            log[f"{split}/loss/latent_l2"] = jnp.mean(l2)
+        if self.perceptual_weight > 0:
+            img_in = decoder_apply(latent_inputs)
+            img_pred = decoder_apply(latent_preds)
+            p = LPIPS(pnet_type=self.lpips_type, name="perceptual_loss")(img_in, img_pred)
+            p = nn.relu(p).reshape(p.shape[0])
+            loss = loss + self.perceptual_weight * p
+            log[f"{split}/loss/p"] = jnp.mean(p)
+        log[f"{split}/loss/total"] = jnp.mean(loss)
+        return loss, log

@@ -102,3 +102,26 @@ def test_train_step_runs_and_learns():
     assert losses[-1] < losses[0], losses
     # EMA tracked
     assert state.ema is not None and int(state.ema.num_updates) == 5
+
+
+def test_log_images_and_sampling():
+    from neurosis_tpu.diffusion import LegacyDDPMDiscretization
+    from neurosis_tpu.sampling import EulerEDMSampler, VanillaCFG
+
+    engine = make_tiny_engine()
+    engine.sampler = EulerEDMSampler(
+        discretization=LegacyDDPMDiscretization(),
+        guider=VanillaCFG(scale=3.0),
+        num_steps=3,
+    )
+    batch = make_batch()
+    state, frozen = engine.init(jax.random.PRNGKey(0), batch)
+
+    log = engine.log_images(
+        state.params, frozen, batch, num_img=2, captions=["a", "b"], rng=jax.random.PRNGKey(1)
+    )
+    assert log["inputs"].shape == (2, 16, 16, 3)
+    assert log["reconstructions"].shape == (2, 16, 16, 3)
+    assert log["samples"].shape == (2, 16, 16, 3)
+    assert np.isfinite(log["samples"]).all()
+    assert log["conditioning"].shape[0] == 2

@@ -174,6 +174,10 @@ def main() -> None:
                     "device": str(jax.devices()[0].device_kind),
                     "batch": batch,
                     "latent_res": res,
+                    "remat": remat_env,
+                    # conventional MODEL-flops MFU: full remat executes ~4x fwd
+                    # vs the 3x fwd of the un-rematerialized step
+                    "model_mfu_est": round(mfu * (0.75 if use_remat and remat_policy == "full" else 1.0), 4),
                 },
             }
         )

@@ -86,9 +86,16 @@ def run_fit(args) -> int:
         loss_hooks=getattr(engine, "loss_hooks", ()),
     )
 
+    num_workers = int((data_node.get("init_args") or {}).get("num_workers", 2) or 0)
+
     def batches():
-        for idx_batch in dataset.get_batch_iterator():
-            yield dataset.get_batch(idx_batch)
+        if num_workers > 0:
+            from neurosis_tpu.data.prefetch import prefetch_batches
+
+            yield from prefetch_batches(dataset, dataset.get_batch_iterator(), num_workers=num_workers)
+        else:
+            for idx_batch in dataset.get_batch_iterator():
+                yield dataset.get_batch(idx_batch)
 
     state, frozen = trainer.fit(batches)
     logger.info(f"fit complete at step {int(state.step)}")

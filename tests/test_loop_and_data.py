@@ -85,3 +85,32 @@ def test_prepare_batch_extended_chunks():
     t = Trainer(_Eng(), tokenizer=make_test_tokenizer(max_length=8), default_root_dir="/tmp/nt_loop_test2")
     out = t.prepare_batch({"caption": ["a b c d e f g h i j k l"]})
     assert out["caption_ids"].shape == (1, 3, 8)
+
+
+def test_prefetch_batches_order_and_content():
+    from neurosis_tpu.data.prefetch import PrefetchIterator, prefetch_batches
+
+    class _DS:
+        def get_batch(self, idxs):
+            import time
+
+            time.sleep(0.01)
+            return {"idx": list(idxs)}
+
+    schedule = [[i, i + 1] for i in range(0, 10, 2)]
+    out = list(prefetch_batches(_DS(), schedule, num_workers=3, buffer_size=2))
+    assert [b["idx"] for b in out] == schedule  # order preserved
+
+    # PrefetchIterator passthrough + exception propagation
+    assert list(PrefetchIterator(iter(range(5)), 2)) == [0, 1, 2, 3, 4]
+
+    def boom():
+        yield 1
+        raise ValueError("x")
+
+    it = PrefetchIterator(boom(), 2)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        list(it)

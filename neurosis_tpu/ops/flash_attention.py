@@ -6,14 +6,16 @@ on the hot path (§3.2: SpatialTransformer self/cross attention is the hottest o
 Shapes: q [B, H, Sq, D], k/v [B, H, Skv, D]. Diffusion specifics this kernel is
 tuned for (unlike causal-LM flash kernels):
   - non-causal, no attention mask;
-  - head dims 40/64/80/160 (SD1.5/SDXL) — D is zero-padded to a lane multiple
-    in-kernel (zero K columns don't change q·kᵀ; zero V columns are sliced off);
-  - Sq = h·w from aspect buckets (any multiple of 16) — q rows are padded and
-    sliced, kv tail columns are masked inside the softmax.
+  - head dims 40/64/80/160 (SD1.5/SDXL): D-MAJOR (transposed) layouts — blocks
+    are (D, S) and logits are computed TRANSPOSED as st = kᵀ·q (BK, BQ), so
+    every matmul contracts over D as the SUBLANE dim or over S at full
+    128-lane width, and softmax statistics stay lane-oriented (1, BQ) with no
+    in-kernel transposes. An (S, D=64) layout would pad D to 128 lanes and
+    waste half the MXU;
+  - Sq/Skv from aspect buckets: q tail padded+sliced, kv tail masked in-softmax.
 
-Standard two-pass-free online softmax: grid (B, H, nq, nk), fp32 accumulators in
-VMEM scratch, finalized on the last kv step. Backward = two kernels (dq and
-dkv), recomputing p from saved row max/sum residuals.
+Online softmax with fp32 accumulators in VMEM scratch; statistics saved as
+LSE = m + log(l) for the two backward kernels (dq and dkv).
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
-_LANES = 128
+_STAT_ROWS = 8  # fp32 min sublane tile for the (rows, S) stat arrays
 NEG_INF = -1e30
 
 
@@ -45,13 +47,17 @@ def _pad_to(x: jax.Array, axis: int, target: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
+def _dg(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, m_scr, l_scr, *, scale, kv_len):
-    """One (b, h, q_block, kv_block) step of online-softmax attention."""
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_scr, l_scr, *, scale, kv_len):
+    """One (b, h, q_block, kv_block) step; tensor blocks (D, S), logits (BK, BQ)."""
     nk = pl.num_programs(3)
     ki = pl.program_id(3)
 
@@ -61,69 +67,59 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, m_scr, l_scr,
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D)
-    k = k_ref[0, 0].astype(jnp.float32)  # (BK, D)
-    v = v_ref[0, 0].astype(jnp.float32)  # (BK, D)
+    qt = q_ref[0, 0].astype(jnp.float32)  # (D, BQ)
+    kt = k_ref[0, 0].astype(jnp.float32)  # (D, BK)
+    vt = v_ref[0, 0].astype(jnp.float32)  # (D, BK)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK)
+    # st[k, q] — contract D over sublanes; BQ at full lane width
+    st = _dg(kt, qt, ((0,), (0,))) * scale  # (BK, BQ)
+    row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
+    st = jnp.where(row < kv_len, st, NEG_INF)
 
-    # Mask kv tail padding (zero-padded K gives logits == 0, which would leak
-    # into the softmax). Only the final block can contain padding.
-    bk = s.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
-    s = jnp.where(col < kv_len, s, NEG_INF)
-
-    m_prev = m_scr[:, :1]  # (BQ, 1)
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_prev = m_scr[0:1, :]  # (1, BQ)
+    m_cur = jnp.max(st, axis=0, keepdims=True)  # (1, BQ)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)  # (1, BQ)
+    pt = jnp.exp(st - m_new)  # (BK, BQ)
 
-    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    l_new = alpha * l_scr[0:1, :] + jnp.sum(pt, axis=0, keepdims=True)
+    # o^T (D, BQ) += v^T (D, BK) @ p^T (BK, BQ) — contract BK
+    acc_ref[:] = acc_ref[:] * alpha + _dg(vt, pt, ((1,), (0,)))
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(ki == nk - 1)
     def _finalize():
-        l = l_scr[:, :1]
+        l = l_scr[0:1, :]
         o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
-        m_ref[0, 0] = m_scr[:]
-        l_ref[0, 0] = l_scr[:]
+        lse = m_scr[0:1, :] + jnp.log(jnp.maximum(l, 1e-30))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
-def _fwd(q, k, v, *, scale, block_q, block_k, kv_len):
-    b, h, sq, d = q.shape
-    skv = k.shape[2]
-    nq = sq // block_q
-    nk = skv // block_k
+def _fwd(qt, kt, vt, *, scale, block_q, block_k, kv_len):
+    b, h, d, sq = qt.shape
+    skv = kt.shape[3]
+    grid = (b, h, sq // block_q, skv // block_k)
 
-    grid = (b, h, nq, nk)
-    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
-    kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0))
-    o_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
-    stat_spec = pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    q_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi))
+    kv_spec = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, qi, ki: (bi, hi, 0, ki))
+    lse_spec = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi))
 
     out_shapes = (
-        jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
-        jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
-        jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((b, h, d, sq), qt.dtype),
+        jax.ShapeDtypeStruct((b, h, _STAT_ROWS, sq), jnp.float32),
     )
     kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=(o_spec, stat_spec, stat_spec),
+        out_specs=(q_spec, lse_spec),
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((d, block_q), jnp.float32),
+            pltpu.VMEM((_STAT_ROWS, block_q), jnp.float32),
+            pltpu.VMEM((_STAT_ROWS, block_q), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -133,7 +129,7 @@ def _fwd(q, k, v, *, scale, block_q, block_k, kv_len):
             bytes_accessed=2 * (b * h * sq * d + 2 * b * h * skv * d),
             transcendentals=b * h * sq * skv,
         ),
-    )(q, k, v)
+    )(qt, kt, vt)
 
 
 # ---------------------------------------------------------------------------
@@ -141,7 +137,7 @@ def _fwd(q, k, v, *, scale, block_q, block_k, kv_len):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref, dq_ref, acc_ref, *, scale, kv_len):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, acc_ref, *, scale, kv_len):
     nk = pl.num_programs(3)
     ki = pl.program_id(3)
 
@@ -149,32 +145,30 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref, dq_ref, ac
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
-    m = m_ref[0, 0][:, :1]
-    l = l_ref[0, 0][:, :1]
-    di = di_ref[0, 0][:, :1]  # rowsum(do * o)
+    qt = q_ref[0, 0].astype(jnp.float32)  # (D, BQ)
+    kt = k_ref[0, 0].astype(jnp.float32)  # (D, BK)
+    vt = v_ref[0, 0].astype(jnp.float32)  # (D, BK)
+    dot = do_ref[0, 0].astype(jnp.float32)  # (D, BQ)
+    lse = lse_ref[0, 0][0:1, :]  # (1, BQ)
+    di = di_ref[0, 0][0:1, :]  # (1, BQ)
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-    bk = s.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
-    s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - m) / l
+    st = _dg(kt, qt, ((0,), (0,))) * scale  # (BK, BQ)
+    row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
+    st = jnp.where(row < kv_len, st, NEG_INF)
+    pt = jnp.exp(st - lse)  # (BK, BQ)
 
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - di) * scale
-    acc_ref[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dpt = _dg(vt, dot, ((0,), (0,)))  # (BK, BQ) — v·do over D sublanes
+    dst = pt * (dpt - di) * scale  # (BK, BQ)
+    # dq^T (D, BQ) += k^T (D, BK) @ ds^T (BK, BQ) — contract BK
+    acc_ref[:] += _dg(kt, dst, ((1,), (0,)))
 
     @pl.when(ki == nk - 1)
     def _finalize():
         dq_ref[0, 0] = acc_ref[:].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale, kv_len
-):
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                    *, scale, kv_len):
     nq = pl.num_programs(3)
     qi = pl.program_id(3)
     ki = pl.program_id(2)
@@ -184,25 +178,24 @@ def _bwd_dkv_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
-    m = m_ref[0, 0][:, :1]
-    l = l_ref[0, 0][:, :1]
-    di = di_ref[0, 0][:, :1]
+    qt = q_ref[0, 0].astype(jnp.float32)  # (D, BQ)
+    kt = k_ref[0, 0].astype(jnp.float32)  # (D, BK)
+    vt = v_ref[0, 0].astype(jnp.float32)  # (D, BK)
+    dot = do_ref[0, 0].astype(jnp.float32)  # (D, BQ)
+    lse = lse_ref[0, 0][0:1, :]  # (1, BQ)
+    di = di_ref[0, 0][0:1, :]  # (1, BQ)
 
-    # s transposed layout: (BK, BQ) so dk/dv contractions hit the MXU directly
-    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-    bk = st.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * bk
-    st = jnp.where(row < kv_len, st, NEG_INF)
-    pt = jnp.exp(st - m[:, 0][None, :]) / l[:, 0][None, :]  # (BK, BQ)
+    st = _dg(kt, qt, ((0,), (0,))) * scale  # (BK, BQ)
+    pt = jnp.exp(st - lse)
+    row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
+    pt = jnp.where(row < kv_len, pt, 0.0)
 
-    dv_acc[:] += jax.lax.dot_general(pt, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    dst = pt * (dpt - di[:, 0][None, :]) * scale  # (BK, BQ)
-    dk_acc[:] += jax.lax.dot_general(dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    # dv^T (D, BK) += do^T (D, BQ) @ p (BQ, BK) — contract BQ (pt lanes)
+    dv_acc[:] += _dg(dot, pt, ((1,), (1,)))
+    dpt = _dg(vt, dot, ((0,), (0,)))  # (BK, BQ)
+    dst = pt * (dpt - di) * scale  # (BK, BQ)
+    # dk^T (D, BK) += q^T (D, BQ) @ ds (BQ, BK) — contract BQ
+    dk_acc[:] += _dg(qt, dst, ((1,), (1,)))
 
     @pl.when(qi == nq - 1)
     def _finalize():
@@ -211,53 +204,53 @@ def _bwd_dkv_kernel(
 
 
 def _bwd(scale, block_q, block_k, kv_len, res, do):
-    q, k, v, o, m, l = res
-    b, h, sq, d = q.shape
-    skv = k.shape[2]
-    nq = sq // block_q
-    nk = skv // block_k
+    qt, kt, vt, ot, lse = res
+    b, h, d, sq = qt.shape
+    skv = kt.shape[3]
+    dot = do  # (B, H, D, Sq) — cotangent already D-major from the wrapper
 
-    di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)
-    di = jnp.broadcast_to(di, (b, h, sq, _LANES))
+    # di = rowsum(do * o) per q position — (B, H, 1, Sq) broadcast to stat rows
+    di = jnp.sum(dot.astype(jnp.float32) * ot.astype(jnp.float32), axis=2, keepdims=True)
+    di = jnp.broadcast_to(di, (b, h, _STAT_ROWS, sq))
 
-    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
-    kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0))
-    stat_spec = pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    q_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi))
+    kv_spec = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, qi, ki: (bi, hi, 0, ki))
+    stat_spec = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi))
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len),
-        grid=(b, h, nq, nk),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec, stat_spec],
+        grid=(b, h, sq // block_q, skv // block_k),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
         out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
+        scratch_shapes=[pltpu.VMEM((d, block_q), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
-    )(q, k, v, do, m, l, di)
+    )(qt, kt, vt, dot, lse, di)
 
-    # dkv: grid loops q blocks innermost, kv blocks as 3rd dim
-    q_spec2 = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0))
-    kv_spec2 = pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0))
-    stat_spec2 = pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, ki, qi: (bi, hi, qi, 0))
+    # dkv: kv blocks on grid dim 2, q blocks innermost
+    q_spec2 = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi))
+    kv_spec2 = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, ki, qi: (bi, hi, 0, ki))
+    stat_spec2 = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi))
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len),
-        grid=(b, h, nk, nq),
-        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, stat_spec2, stat_spec2, stat_spec2],
+        grid=(b, h, skv // block_k, sq // block_q),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, stat_spec2, stat_spec2],
         out_specs=(kv_spec2, kv_spec2),
         out_shape=(
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(kt.shape, kt.dtype),
+            jax.ShapeDtypeStruct(vt.shape, vt.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((d, block_k), jnp.float32),
+            pltpu.VMEM((d, block_k), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
-    )(q, k, v, do, m, l, di)
+    )(qt, kt, vt, dot, lse, di)
     return dq, dk, dv
 
 
@@ -267,14 +260,14 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, scale, block_q, block_k, kv_len):
-    o, _, _ = _fwd(q, k, v, scale=scale, block_q=block_q, block_k=block_k, kv_len=kv_len)
+def _flash(qt, kt, vt, scale, block_q, block_k, kv_len):
+    o, _ = _fwd(qt, kt, vt, scale=scale, block_q=block_q, block_k=block_k, kv_len=kv_len)
     return o
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k, kv_len):
-    o, m, l = _fwd(q, k, v, scale=scale, block_q=block_q, block_k=block_k, kv_len=kv_len)
-    return o, (q, k, v, o, m, l)
+def _flash_fwd(qt, kt, vt, scale, block_q, block_k, kv_len):
+    o, lse = _fwd(qt, kt, vt, scale=scale, block_q=block_q, block_k=block_k, kv_len=kv_len)
+    return o, (qt, kt, vt, o, lse)
 
 
 _flash.defvjp(_flash_fwd, _bwd)
@@ -287,20 +280,21 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jax.Array:
-    """Flash attention over [B, H, S, D]; pads S and D to hardware tiles."""
+    """Flash attention over [B, H, S, D]; D-major internally, pads S/D to tiles."""
     b, h, sq, d = q.shape
     skv = k.shape[2]
     scale = 1.0 / math.sqrt(d)  # scale by TRUE head dim, before padding
 
-    d_pad = _round_up(d, _LANES)
-    block_q = min(block_q, _round_up(sq, 16))
-    block_k = min(block_k, _round_up(skv, 16))
+    d_pad = _round_up(d, 16)  # sublane tile (bf16); multiple of 8 for fp32 too
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(skv, 128))
     sq_pad = _round_up(sq, block_q)
     skv_pad = _round_up(skv, block_k)
 
-    qp = _pad_to(_pad_to(q, 3, d_pad), 2, sq_pad)
-    kp = _pad_to(_pad_to(k, 3, d_pad), 2, skv_pad)
-    vp = _pad_to(_pad_to(v, 3, d_pad), 2, skv_pad)
+    # transpose to D-major (B, H, D, S) and pad
+    qt = _pad_to(_pad_to(q.swapaxes(2, 3), 2, d_pad), 3, sq_pad)
+    kt = _pad_to(_pad_to(k.swapaxes(2, 3), 2, d_pad), 3, skv_pad)
+    vt = _pad_to(_pad_to(v.swapaxes(2, 3), 2, d_pad), 3, skv_pad)
 
-    o = _flash(qp, kp, vp, scale, block_q, block_k, skv)
-    return o[:, :, :sq, :d]
+    ot = _flash(qt, kt, vt, scale, block_q, block_k, skv)
+    return ot[:, :, :d, :sq].swapaxes(2, 3)

@@ -63,7 +63,12 @@ def _populate():
         VPreconditioning,
         VPreconditioningWithEDMcNoise,
     )
-    from neurosis_tpu.losses.vae_loss import AutoencoderLPIPSWithDiscr, AutoencoderPerceptual
+    from neurosis_tpu.losses.discriminator_loss import (
+        GeneralLPIPSWithDiscriminator,
+        VQLPIPSWithDiscriminator,
+    )
+    from neurosis_tpu.losses.dreamsim import AutoencoderDreamsim
+    from neurosis_tpu.losses.vae_loss import AutoencoderLPIPSWithDiscr, AutoencoderPerceptual, LatentLPIPS
     from neurosis_tpu.models.unet import UNetModel
     from neurosis_tpu.models.vae import Decoder, Encoder
     from neurosis_tpu.modules.encoders import (
@@ -141,6 +146,10 @@ def _populate():
         # losses
         "neurosis.modules.autoencoding.losses.AutoencoderPerceptual": AutoencoderPerceptual,
         "neurosis.modules.autoencoding.losses.AutoencoderLPIPSWithDiscr": AutoencoderLPIPSWithDiscr,
+        "neurosis.modules.autoencoding.losses.GeneralLPIPSWithDiscriminator": GeneralLPIPSWithDiscriminator,
+        "neurosis.modules.autoencoding.losses.VQLPIPSWithDiscriminator": VQLPIPSWithDiscriminator,
+        "neurosis.modules.autoencoding.losses.AutoencoderDreamsim": AutoencoderDreamsim,
+        "neurosis.modules.autoencoding.losses.LatentLPIPS": LatentLPIPS,
         # data
         "neurosis.dataset.aspect.AspectBucketList": AspectBucketList,
         "neurosis.dataset.aspect.SDXLBucketList": SDXLBucketList,

@@ -51,6 +51,16 @@ class GeneralLPIPSWithDiscriminator(nn.Module):
     def _disc_start(self) -> int:
         return self.disc_start if self.disc_start > 0 else maxsize
 
+    # probe methods for the engine's adaptive-d_weight vjps (call via
+    # .apply(..., method="nll_scalar"/"g_scalar"))
+    def nll_scalar(self, inputs: jax.Array, recons: jax.Array) -> jax.Array:
+        nll, _ = self.nll_loss(inputs, recons)
+        return nll
+
+    def g_scalar(self, recons: jax.Array) -> jax.Array:
+        # eval-mode BN: the probe must not mutate batch_stats
+        return -jnp.mean(self.discriminator(recons, train=False))
+
     def nll_loss(self, inputs: jax.Array, recons: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """Perceptual-weighted recon under learnable logvar (discriminator_loss.py:212+)."""
         if self.rec_loss_type in ("l2", "mse"):

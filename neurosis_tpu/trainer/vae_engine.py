@@ -69,10 +69,15 @@ class AutoencodingEngine:
     # selective freeze (DiffusersAutoencodingEngine parity, autoencoder_hf.py:111-136)
     freeze_encoder: bool = False
     freeze_decoder: bool = False
+    # taming-style adaptive d_weight (GeneralLPIPSWithDiscriminator,
+    # discriminator_loss.py:198-210): ratio of nll/g grad norms at the
+    # decoder's last layer, computed with two extra decoder backwards
+    adaptive_disc_weight: bool = False
 
     @property
     def has_discriminator(self) -> bool:
-        return isinstance(self.loss, AutoencoderLPIPSWithDiscr)
+        # AutoencoderLPIPSWithDiscr and GeneralLPIPS/VQLPIPSWithDiscriminator
+        return hasattr(self.loss, "disc_loss")
 
     def _g_keys(self) -> tuple:
         keys = []
@@ -132,13 +137,12 @@ class AutoencodingEngine:
         recons = self.decoder.apply({"params": params["decoder"]}, z)
         return z, recons, dist
 
-    def _loss_apply(self, loss_params, batch_stats, inputs, recons, step, optimizer_idx, train=True):
+    def _loss_apply(self, loss_params, batch_stats, inputs, recons, step, optimizer_idx,
+                    train=True, **extra):
         variables = {"params": loss_params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        kwargs = {}
-        mutable = []
-        if self.has_discriminator:
+        if self.has_discriminator or hasattr(self.loss, "discriminator"):
             out, updated = self.loss.apply(
                 variables,
                 inputs,
@@ -147,10 +151,39 @@ class AutoencodingEngine:
                 optimizer_idx=optimizer_idx,
                 train=train,
                 mutable=["batch_stats"],
+                **extra,
             )
             return out, updated.get("batch_stats", batch_stats)
         out = self.loss.apply(variables, inputs, recons)
         return out, batch_stats
+
+    def _compute_adaptive_weight(self, state: VAETrainState, x: jax.Array, z_rng):
+        """d_weight = ‖∂nll/∂conv_out‖ / (‖∂g/∂conv_out‖+1e-4)
+        (discriminator_loss.py:198-210), via two decoder backwards."""
+        from neurosis_tpu.losses.discriminator_loss import adaptive_disc_weight
+
+        variables = {"params": state.params["loss"]}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
+        def recon_of(dec_params):
+            params = dict(state.params)
+            params["decoder"] = dec_params
+            _, recons, _ = self.forward(params, x, z_rng)
+            return recons
+
+        def last_kernel(tree):
+            return tree["conv_out"]["Conv_0"]["kernel"]
+
+        nll_grad = jax.grad(
+            lambda dec: self.loss.apply(variables, x, recon_of(dec), method="nll_scalar")
+        )(state.params["decoder"])
+        g_grad = jax.grad(
+            lambda dec: self.loss.apply(variables, recon_of(dec), method="g_scalar")
+        )(state.params["decoder"])
+        return adaptive_disc_weight(
+            last_kernel(nll_grad), last_kernel(g_grad), getattr(self.loss, "disc_weight", 1.0)
+        )
 
     # ------------------------------------------------------------------
 
@@ -159,12 +192,16 @@ class AutoencodingEngine:
         rng, z_rng = next_rngs(state.rng, 1)
         x = batch[self.input_key]
 
+        extra = {}
+        if self.adaptive_disc_weight and hasattr(self.loss, "nll_scalar"):
+            extra["d_weight"] = self._compute_adaptive_weight(state, x, z_rng)
+
         def loss_fn(g_params):
             params = dict(state.params)
             params.update(g_params)
             z, recons, dist = self.forward(params, x, z_rng)
             (loss, log), new_stats = self._loss_apply(
-                params["loss"], state.batch_stats, x, recons, state.step, 0
+                params["loss"], state.batch_stats, x, recons, state.step, 0, **extra
             )
             total = jnp.mean(loss)
             if self.kl_weight > 0:

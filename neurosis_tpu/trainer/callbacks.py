@@ -138,7 +138,14 @@ class CheckpointCallback:
         import orbax.checkpoint as ocp
 
         mgr = self._manager(trainer)
-        mgr.save(step, args=ocp.args.StandardSave({"params": state.params, "step": int(state.step)}))
+        payload = {"params": state.params, "step": int(state.step)}
+        # full trainer state (the reference .ckpt carries optimizer/loop state)
+        if getattr(state, "opt_state", None) is not None:
+            payload["opt_state"] = state.opt_state
+        if getattr(state, "ema", None) is not None:
+            payload["ema_params"] = state.ema.params
+            payload["ema_num_updates"] = int(state.ema.num_updates)
+        mgr.save(step, args=ocp.args.StandardSave(payload))
         logger.info(f"saved checkpoint at step {step}")
 
     def on_fit_end(self, trainer, state):

@@ -278,16 +278,31 @@ class Trainer:
             latest = mgr.latest_step()
             if latest is None:
                 return state
-            restored = mgr.restore(
-                latest,
-                args=ocp.args.StandardRestore({"params": state.params, "step": 0}),
-            )
+            template = {"params": state.params, "step": 0}
+            if getattr(state, "opt_state", None) is not None:
+                template["opt_state"] = state.opt_state
+            if getattr(state, "ema", None) is not None:
+                template["ema_params"] = state.ema.params
+                template["ema_num_updates"] = 0
+            restored = mgr.restore(latest, args=ocp.args.StandardRestore(template))
             logger.info(f"resumed from checkpoint step {latest}")
             import jax.numpy as jnp
 
-            return state._replace(
+            new = state._replace(
                 params=restored["params"], step=jnp.asarray(restored["step"], jnp.int32)
             )
+            if "opt_state" in restored:
+                new = new._replace(opt_state=restored["opt_state"])
+            if "ema_params" in restored and state.ema is not None:
+                from neurosis_tpu.modules.ema import EmaState
+
+                new = new._replace(
+                    ema=EmaState(
+                        restored["ema_params"],
+                        jnp.asarray(restored.get("ema_num_updates", 0), jnp.int32),
+                    )
+                )
+            return new
         except Exception:
             logger.exception("checkpoint resume failed; starting fresh")
             return state

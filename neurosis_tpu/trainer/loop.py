@@ -105,7 +105,11 @@ class Trainer:
         tokenizer=None,
         caption_key: str = "caption",
         token_max_length: int = 77,
+        debug_nans: bool = False,
     ):
+        if debug_nans:
+            # detect_anomaly parity (SURVEY §5.2): trap NaNs at the op level
+            jax.config.update("jax_debug_nans", True)
         self.engine = engine
         self.max_steps = 1 if fast_dev_run else max_steps
         self.max_epochs = 1 if fast_dev_run else max_epochs

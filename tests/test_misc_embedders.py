@@ -1,0 +1,72 @@
+"""Misc embedders + callbacks smoke coverage."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+
+def test_class_embedder():
+    from neurosis_tpu.modules.encoders.misc import ClassEmbedder
+
+    emb = ClassEmbedder(embed_dim=16, n_classes=10, input_key="cls")
+    v = emb.init(jax.random.PRNGKey(0), jnp.asarray([1, 2, 10]))  # 10 = ucg class
+    (out,) = emb.apply(v, jnp.asarray([1, 2, 10]))
+    assert out.shape == (3, 16)
+    assert emb.uncond_class() == 10
+
+
+def test_spatial_rescaler():
+    from neurosis_tpu.modules.encoders.misc import SpatialRescaler
+
+    r = SpatialRescaler(n_stages=2, multiplier=0.5, out_channels=8, input_key="image")
+    x = jnp.ones((2, 16, 16, 3))
+    v = r.init(jax.random.PRNGKey(0), x)
+    (out,) = r.apply(v, x)
+    assert out.shape == (2, 4, 4, 8)
+
+
+def test_lowscale_encoder_noise_levels():
+    from neurosis_tpu.modules.encoders.misc import LowScaleEncoder
+
+    enc = LowScaleEncoder(model=None, output_size=8, max_noise_level=100, input_key="image")
+    x = jnp.ones((2, 16, 16, 3))
+    v = enc.init(jax.random.PRNGKey(0), x, rng=jax.random.PRNGKey(1))
+    z, levels = enc.apply(v, x, rng=jax.random.PRNGKey(2))
+    assert z.shape == (2, 8, 8, 3)
+    assert levels.shape == (2,)
+    assert (np.asarray(levels) < 100).all()
+
+
+def test_save_config_callback(tmp_path):
+    from neurosis_tpu.trainer.callbacks import SaveConfigCallback
+
+    class _Logger:
+        wandb = None
+
+    class _Trainer:
+        root_dir = tmp_path
+        logger = _Logger()
+
+    cb = SaveConfigCallback(config={"model": {"class_path": "x"}, "seed_everything": 1})
+    cb.on_fit_start(_Trainer(), None)
+    import yaml
+
+    saved = yaml.safe_load((tmp_path / "config.yaml").read_text())
+    assert saved["seed_everything"] == 1
+
+
+def test_freeze_slice_transform():
+    import optax
+
+    from neurosis_tpu.utils.strings import freeze_slice
+
+    tx = optax.chain(optax.sgd(1.0), freeze_slice("embedding", slice(0, 2)))
+    params = {"embedding": jnp.ones((4, 3)), "dense": jnp.ones((2,))}
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert np.abs(np.asarray(updates["embedding"][:2])).sum() == 0  # frozen rows
+    assert np.abs(np.asarray(updates["embedding"][2:])).sum() > 0
+    assert np.abs(np.asarray(updates["dense"])).sum() > 0

@@ -288,6 +288,10 @@ def flash_attention(
     scale = 1.0 / math.sqrt(d)  # scale by TRUE head dim, before padding
 
     d_pad = _round_up(d, 16)  # sublane tile (bf16); multiple of 8 for fp32 too
+    if d <= 64 and block_q == DEFAULT_BLOCK_Q:
+        # small head dims leave VMEM headroom for bigger q blocks (sweep:
+        # bq1024/bk1024 = 82.7 TF/s f+b vs 79.5 at bq512/bk1024)
+        block_q = 1024
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(skv, 128))
     sq_pad = _round_up(sq, block_q)

@@ -49,13 +49,28 @@ def make_mesh(
     return Mesh(arr, ("data", "fsdp"))
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host-local batch dict with batch-dim sharding over 'data'."""
+def shard_batch(mesh: Mesh, batch: Any, data_axis: str = "data") -> Any:
+    """Place a batch dict with batch-dim sharding over the data axis.
+
+    Arrays whose leading dim doesn't divide the data-axis size (e.g. the
+    singleton `uncond_ids` row) are replicated. Multi-host: the input is this
+    process's local slice (the rank-strided sampler contract,
+    dataset/aspect/sampler.py:27-87) and `make_array_from_process_local_data`
+    assembles the global array.
+    """
+    data_size = mesh.shape[data_axis]
+    multihost = jax.process_count() > 1
 
     def _put(x):
         x = np.asarray(x)
-        spec = P("data") if x.ndim >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        if x.ndim >= 1 and x.shape[0] % data_size == 0:
+            spec = P(data_axis)
+        else:
+            spec = P()
+        sharding = NamedSharding(mesh, spec)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_put, batch)
 
@@ -65,6 +80,23 @@ def shard_params(mesh: Mesh, params: Any, specs: Any) -> Any:
     return jax.tree_util.tree_map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs
     )
+
+
+def shard_state(mesh: Mesh, state: Any, fsdp_size: int) -> Any:
+    """Shard a whole train-state pytree (params, opt_state, EMA, scalars).
+
+    Every leaf gets the shape-driven fsdp spec (fsdp.py) — optimizer moments
+    share their param's shape so they land on the same shards (the FULL_SHARD
+    opt-state sharding of SDXLFSDPStrategy, fsdp/diffusionpolicy.py:108-146);
+    scalars/small tensors replicate.
+    """
+    from neurosis_tpu.parallel.fsdp import fsdp_partition_spec
+
+    def _put(leaf):
+        spec = fsdp_partition_spec(getattr(leaf, "shape", ()), fsdp_size)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(_put, state)
 
 
 def unshard(x: Any) -> Any:

@@ -16,6 +16,17 @@ logger = logging.getLogger(__name__)
 
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    # some TPU plugins ignore the JAX_PLATFORMS env var; honor it via config
+    # before any jax.devices() call (same workaround as tests/conftest.py)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     parser = argparse.ArgumentParser(prog="neurosis_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
     fit = sub.add_parser("fit", help="train from a YAML config")
@@ -74,6 +85,22 @@ def run_fit(args) -> int:
         mc = dict(cfg["model_checkpoint"])
         callbacks.append(CheckpointCallback(every_n_train_steps=mc.get("every_n_train_steps", 1000)))
 
+    # distribution (Lightning trainer.devices/strategy → mesh axes; SURVEY §2.8):
+    # `strategy: auto|ddp` = data-parallel over all devices; `strategy: fsdp`
+    # additionally shards params/opt-state (fsdp axis = all devices unless an
+    # explicit `fsdp:` size is given).
+    devices = trainer_cfg.get("devices")
+    strategy = str(trainer_cfg.get("strategy", "") or "")
+    fsdp = int(trainer_cfg.get("fsdp", 0) or 0)
+    if strategy in ("auto", "ddp", "fsdp") and devices is None:
+        devices = "auto"
+    if strategy == "fsdp" and fsdp == 0:
+        import jax
+
+        n = len(jax.devices()) if devices in ("auto", -1, None) else int(devices)
+        fsdp = n
+    fsdp = max(fsdp, 1)
+
     trainer = Trainer(
         engine,
         max_steps=max_steps,
@@ -84,17 +111,30 @@ def run_fit(args) -> int:
         fast_dev_run=bool(fast_dev),
         callbacks=callbacks,
         loss_hooks=getattr(engine, "loss_hooks", ()),
+        devices=devices,
+        fsdp=fsdp,
     )
 
     num_workers = int((data_node.get("init_args") or {}).get("num_workers", 2) or 0)
+
+    def index_batches():
+        """Per-host schedule: rank-strided over pre-built bucket batches when
+        running multi-host (AspectDistributedSampler contract, sampler.py:27-87)."""
+        import jax
+
+        if jax.process_count() > 1:
+            from neurosis_tpu.data.sampler import shard_batches_for_host
+
+            return iter(shard_batches_for_host(dataset, seed=cfg.get("seed_everything", 42)))
+        return dataset.get_batch_iterator()
 
     def batches():
         if num_workers > 0:
             from neurosis_tpu.data.prefetch import prefetch_batches
 
-            yield from prefetch_batches(dataset, dataset.get_batch_iterator(), num_workers=num_workers)
+            yield from prefetch_batches(dataset, index_batches(), num_workers=num_workers)
         else:
-            for idx_batch in dataset.get_batch_iterator():
+            for idx_batch in index_batches():
                 yield dataset.get_batch(idx_batch)
 
     state, frozen = trainer.fit(batches)

@@ -1,11 +1,16 @@
 """The training loop — Lightning Trainer's role, functional style.
 
-Drives: data iteration (bucket batches → tokenize → device_put with mesh
-sharding) → jitted engine.train_step (one compiled executable per bucket
-shape) → metric logging → callbacks (image logger, checkpoints, crash dump).
+Drives: data iteration (bucket batches → tokenize) → device placement (with
+`devices`/`fsdp` > 1: a (data, fsdp) Mesh; params/opt-state/EMA sharded by
+shape-driven PartitionSpecs, batches sharded along 'data', gradients reduced
+by XLA collectives over ICI) → jitted engine.train_step (one compiled
+executable per bucket shape) → metric logging → callbacks (image logger,
+checkpoints, crash dump).
 
-Parity anchors: trainer runtime L5 (SURVEY.md §1), fast_dev_run smoke mode,
-ExceptionHandler save-on-crash (trainer/callbacks/exception.py:55-80).
+Parity anchors: trainer runtime L5 (SURVEY.md §1), Lightning `strategy:
+auto`→DDP / SDXLFSDPStrategy (fsdp/diffusionpolicy.py:108-146) →
+Trainer(devices=..., fsdp=...), fast_dev_run smoke mode, ExceptionHandler
+save-on-crash (trainer/callbacks/exception.py:55-80).
 """
 
 from __future__ import annotations
@@ -106,6 +111,8 @@ class Trainer:
         caption_key: str = "caption",
         token_max_length: int = 77,
         debug_nans: bool = False,
+        devices: Any = None,
+        fsdp: int = 1,
     ):
         if debug_nans:
             # detect_anomaly parity (SURVEY §5.2): trap NaNs at the op level
@@ -122,6 +129,43 @@ class Trainer:
         self.caption_key = caption_key
         self.logger = JsonlLogger(self.root_dir / "logs")
         self._step_fns: dict = {}  # shape-keyed jitted steps
+        # distribution: Lightning `devices:`/`strategy:` → a (data, fsdp) mesh
+        self.devices = devices
+        self.fsdp = int(fsdp or 1)
+        self.mesh = None  # built lazily in fit()
+
+    # -- mesh / sharding ----------------------------------------------------
+
+    def _build_mesh(self):
+        """Build the (data, fsdp) mesh when devices/fsdp ask for >1 device."""
+        if self.devices in ("auto", -1):
+            n = len(jax.devices())
+        elif self.devices is None:
+            n = len(jax.devices()) if self.fsdp > 1 else 1
+        else:
+            n = int(self.devices)
+        if n <= 1 and self.fsdp <= 1:
+            return None
+        if n % self.fsdp:
+            raise ValueError(f"devices={n} not divisible by fsdp={self.fsdp}")
+        from neurosis_tpu.parallel import make_mesh
+
+        return make_mesh(data=n // self.fsdp, fsdp=self.fsdp, devices=jax.devices()[:n])
+
+    def _shard(self, tree):
+        """Shard a state/param pytree onto the mesh (no-op single device)."""
+        if self.mesh is None:
+            return tree
+        from neurosis_tpu.parallel import shard_state
+
+        return shard_state(self.mesh, tree, self.fsdp)
+
+    def _place_batch(self, prepped: dict) -> dict:
+        if self.mesh is None:
+            return prepped
+        from neurosis_tpu.parallel import shard_batch
+
+        return shard_batch(self.mesh, prepped)
 
     # -- batch prep --------------------------------------------------------
 
@@ -149,7 +193,7 @@ class Trainer:
                 out[k] = v
             elif isinstance(v, (list, tuple)) and v and isinstance(v[0], (int, float)):
                 out[k] = np.asarray(v)
-        if f"{self.caption_key}_ids" in out:
+        if f"{self.caption_key}_ids" in out and "uncond_ids" not in out:
             out["uncond_ids"] = self.tokenizer([""])
         return out
 
@@ -162,6 +206,14 @@ class Trainer:
 
     def fit(self, batch_iter_factory: Callable[[], Iterable[dict]]):
         """Run training over batches from `batch_iter_factory()` per epoch."""
+        if self.mesh is None:
+            self.mesh = self._build_mesh()
+        if self.mesh is not None:
+            logger.info(f"training on mesh {dict(self.mesh.shape)}")
+            with self.mesh:
+                if hasattr(self.engine, "g_step"):
+                    return self._fit_vae(batch_iter_factory)
+                return self._fit_diffusion(batch_iter_factory)
         if hasattr(self.engine, "g_step"):
             return self._fit_vae(batch_iter_factory)
         return self._fit_diffusion(batch_iter_factory)
@@ -180,12 +232,14 @@ class Trainer:
                     prepped = self.prepare_batch(batch)
                     if state is None:
                         state = self.engine.init(rng, prepped)
+                        state = self._shard(state)
                         g_step = jax.jit(self.engine.g_step)
                         if self.engine.has_discriminator and self.engine.d_optimizer is not None:
                             d_step = jax.jit(self.engine.d_step)
                         for cb in self.callbacks:
                             if hasattr(cb, "on_fit_start"):
                                 cb.on_fit_start(self, state)
+                    prepped = self._place_batch(prepped)
                     idx = self.engine.train_step_schedule(batch_idx, int(state.step))
                     if idx == 1 and d_step is not None:
                         state, metrics = d_step(state, prepped)
@@ -231,10 +285,13 @@ class Trainer:
                         if getattr(self.engine, "ckpt_path", None):
                             state, frozen = self._load_ckpt(state, frozen)
                         state = self._maybe_resume(state)
+                        state = self._shard(state)
+                        frozen = self._shard(frozen)
                         for cb in self.callbacks:
                             if hasattr(cb, "on_fit_start"):
                                 cb.on_fit_start(self, state)
                     key = prepped[self.engine.input_key].shape
+                    prepped = self._place_batch(prepped)
                     state, metrics = self._step_fn(key)(state, frozen, prepped)
                     global_step = int(state.step)
 

@@ -72,9 +72,18 @@ class _Extractor(tnn.Module):
         return out
 
 
-def _install_stubs():
-    """Install torchvision + neurosis.data stubs, then load the reference
-    extractors/perceptual modules standalone."""
+@pytest.fixture()
+def ref_perceptual_mod():
+    """Install torchvision + neurosis.data stubs, load the reference
+    extractors/perceptual modules, and REMOVE the stubs afterwards so they
+    don't shadow real imports (transformers probes torchvision) for the rest
+    of the pytest process."""
+    added = {}
+
+    def _put(name, mod):
+        added[name] = sys.modules.get(name)
+        sys.modules[name] = mod
+
     tv = types.ModuleType("torchvision")
     tvm = types.ModuleType("torchvision.models")
     fx_mod = types.ModuleType("torchvision.models.feature_extraction")
@@ -94,9 +103,9 @@ def _install_stubs():
     fx_mod.create_feature_extractor = lambda model, features: _Extractor(model.features, features)
     tvm.feature_extraction = fx_mod
     tv.models = tvm
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.models"] = tvm
-    sys.modules["torchvision.models.feature_extraction"] = fx_mod
+    _put("torchvision", tv)
+    _put("torchvision.models", tvm)
+    _put("torchvision.models.feature_extraction", fx_mod)
 
     # neurosis.data.lpips_checkpoint → the real shipped safetensors
     @contextmanager
@@ -107,22 +116,31 @@ def _install_stubs():
 
     data_stub = types.ModuleType("neurosis.data")
     data_stub.lpips_checkpoint = lpips_checkpoint
-    pkg = sys.modules.get("neurosis") or types.ModuleType("neurosis")
-    sys.modules.setdefault("neurosis", pkg)
-    sys.modules["neurosis.data"] = data_stub
+    if "neurosis" not in sys.modules:
+        _put("neurosis", types.ModuleType("neurosis"))
+    _put("neurosis.data", data_stub)
 
     from _reference_loader import _load
 
     losses_pkg = types.ModuleType("neurosis.modules.losses")
-    sys.modules.setdefault("neurosis.modules", types.ModuleType("neurosis.modules"))
-    sys.modules["neurosis.modules.losses"] = losses_pkg
+    if "neurosis.modules" not in sys.modules:
+        _put("neurosis.modules", types.ModuleType("neurosis.modules"))
+    _put("neurosis.modules.losses", losses_pkg)
     _load("neurosis.modules.losses.extractors", "modules/losses/extractors.py")
-    return _load("neurosis.modules.losses.perceptual", "modules/losses/perceptual.py")
+    mod = _load("neurosis.modules.losses.perceptual", "modules/losses/perceptual.py")
+    try:
+        yield mod
+    finally:
+        for name, prev in added.items():
+            if prev is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = prev
 
 
 @pytest.mark.parametrize("pnet_type", ["alex", "vgg"])
-def test_lpips_golden_with_shipped_lin_weights(pnet_type):
-    ref_perceptual = _install_stubs()
+def test_lpips_golden_with_shipped_lin_weights(pnet_type, ref_perceptual_mod):
+    ref_perceptual = ref_perceptual_mod
 
     torch.manual_seed(0)
     ref = ref_perceptual.LPIPS(pnet_type=pnet_type, pretrained=True, verbose=False).eval()

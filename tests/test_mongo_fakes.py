@@ -52,12 +52,22 @@ class FakeCollection:
         return FakeCursor(self.rows)
 
 
+class FakeDB:
+    def __init__(self, coll):
+        self.coll = coll
+
+    def __getitem__(self, name):
+        return self.coll
+
+
 class FakeClient:
+    """client[database][collection] → FakeCollection, name-agnostic."""
+
     def __init__(self, rows):
         self.coll = FakeCollection(rows)
 
     def __getitem__(self, name):
-        return {"images": self.coll, "db": self}.get(name, self)
+        return FakeDB(self.coll)
 
 
 def _png_bytes(w=96, h=64, seed=0):

@@ -22,6 +22,38 @@ from neurosis_tpu.trainer.engine import DiffusionEngine
 logger = logging.getLogger(__name__)
 
 
+#: exact class_path → builder dispatch (replaces substring matching; the
+#: reference's jsonargparse resolves these classes directly, trainer/cli.py:50-70)
+ENGINE_BUILDERS: dict = {}
+
+
+def build_engine(model_node: dict):
+    """`model:` YAML node → engine, dispatched by its exact class_path."""
+    if not ENGINE_BUILDERS:
+        diffusion = build_diffusion_engine
+        vae = build_autoencoding_engine
+        ENGINE_BUILDERS.update(
+            {
+                "neurosis.models.DiffusionEngine": diffusion,
+                "neurosis.models.diffusion.DiffusionEngine": diffusion,
+                "neurosis_tpu.trainer.engine.DiffusionEngine": diffusion,
+                "neurosis.models.autoencoder.AutoencodingEngine": vae,
+                "neurosis.models.autoencoder.AutoencodingEngineLegacy": vae,
+                "neurosis.models.autoencoder.AutoencoderKL": vae,
+                "neurosis.models.autoencoder.AutoencoderKLInferenceWrapper": vae,
+                "neurosis.models.autoencoder.DiffusersAutoencodingEngine": vae,
+                "neurosis_tpu.trainer.vae_engine.AutoencodingEngine": vae,
+            }
+        )
+    cls_path = model_node.get("class_path", "")
+    builder = ENGINE_BUILDERS.get(cls_path)
+    if builder is None:
+        raise NotImplementedError(
+            f"unsupported model class_path {cls_path!r}; known: {sorted(ENGINE_BUILDERS)}"
+        )
+    return builder(model_node)
+
+
 def build_optimizer(node: Optional[dict], scheduler_node: Optional[dict] = None):
     """optimizer/scheduler config → optax transformation."""
     if node is None:
@@ -163,6 +195,7 @@ def build_diffusion_engine(model_node: dict) -> DiffusionEngine:
         input_key=args.get("input_key", "image"),
         use_ema=bool(args.get("use_ema", False)),
         trainable_embedders=tuple(trainable_idx),
+        log_sigmas=bool(args.get("log_sigmas", False)),
     )
     engine.ckpt_path = args.get("ckpt_path")
     engine.loss_hooks = [instantiate(h) for h in args.get("forward_hooks", []) or []]

@@ -85,7 +85,7 @@ class ImageLogger:
         img = prepped[engine.input_key]
         shape = (img.shape[0], img.shape[1] // 8, img.shape[2] // 8, engine.model.in_channels)
         rng = jax.random.PRNGKey(step)
-        latents = engine.sample(state.params, frozen, c, uc, rng, shape)
+        latents = engine.sample(state.params, frozen, c, uc, rng, shape, num_steps=self.num_steps)
         decoded = engine.decode_first_stage(frozen, latents)
 
         captions = batch.get(trainer.caption_key)

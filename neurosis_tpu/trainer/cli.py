@@ -1,7 +1,9 @@
-"""CLI entrypoint (parity: trainer/cli.py:50-149 — `neurosis fit -c config.yaml`).
+"""CLI entrypoint (parity: trainer/cli.py:50-149 — LightningCLI surface).
 
-`python -m neurosis_tpu fit -c config.yaml` consumes the reference YAML shape:
-trainer args, model (DiffusionEngine node), data (dataset module node).
+`python -m neurosis_tpu {fit,validate,predict} -c config.yaml` consumes the
+reference YAML shape: trainer args, model (engine node), data (dataset node),
+top-level image_logger / model_checkpoint nodes, trainer.logger (wandb
+pass-through).
 """
 
 from __future__ import annotations
@@ -29,66 +31,51 @@ def main(argv=None) -> int:
             pass
     parser = argparse.ArgumentParser(prog="neurosis_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
+
     fit = sub.add_parser("fit", help="train from a YAML config")
-    fit.add_argument("-c", "--config", required=True, type=Path)
+    val = sub.add_parser("validate", help="run loss-only evaluation from a YAML config")
+    pred = sub.add_parser("predict", help="sample images from prompts with a trained model")
+    for p in (fit, val, pred):
+        p.add_argument("-c", "--config", required=True, type=Path)
     fit.add_argument("--max-steps", type=int, default=None)
     fit.add_argument("--fast-dev-run", action="store_true", default=None)
+    val.add_argument("--max-batches", type=int, default=None)
+    pred.add_argument("--prompt", action="append", default=None, help="repeatable prompt(s)")
+    pred.add_argument("--steps", type=int, default=None, help="sampler steps override")
+    pred.add_argument("--out", type=Path, default=None, help="output directory (default <root>/predictions)")
+    pred.add_argument("--size", type=int, default=1024, help="image size (pixels, square)")
     args = parser.parse_args(argv)
 
     if args.command == "fit":
         return run_fit(args)
+    if args.command == "validate":
+        return run_validate(args)
+    if args.command == "predict":
+        return run_predict(args)
     return 1
 
 
-def run_fit(args) -> int:
-    from neurosis_tpu.config import instantiate, load_config
-    from neurosis_tpu.trainer.builder import build_diffusion_engine
-    from neurosis_tpu.trainer.loop import Trainer
+def _wandb_config(trainer_cfg: dict):
+    """trainer.logger list → wandb init kwargs (WandbLogger pass-through)."""
+    loggers = trainer_cfg.get("logger") or []
+    if isinstance(loggers, dict):
+        loggers = [loggers]
+    for node in loggers:
+        cls_path = str(node.get("class_path", ""))
+        if cls_path.rsplit(".", 1)[-1] == "WandbLogger":
+            ia = dict(node.get("init_args") or {})
+            cfg = {k: v for k, v in ia.items() if k in ("project", "name", "tags", "entity", "group", "mode")}
+            if ia.get("save_dir"):
+                cfg["dir"] = ia["save_dir"]
+            return cfg
+    return None
 
-    cfg = load_config(args.config)
-    trainer_cfg = cfg.get("trainer", {}) or {}
 
-    model_node = cfg["model"]
-    cls_path = model_node.get("class_path", "")
-    if "DiffusionEngine" in cls_path:
-        engine = build_diffusion_engine(model_node)
-    elif "Autoencod" in cls_path or "AutoencoderKL" in cls_path:
-        from neurosis_tpu.trainer.builder import build_autoencoding_engine
-
-        engine = build_autoencoding_engine(model_node)
-    else:
-        raise NotImplementedError(f"unsupported model class_path {cls_path}")
-
-    data_node = cfg["data"]
-    dataset = instantiate(data_node)
-
-    fast_dev = trainer_cfg.get("fast_dev_run", False)
-    if args.fast_dev_run is not None:
-        fast_dev = args.fast_dev_run
-    max_steps = args.max_steps or trainer_cfg.get("max_steps", 1000)
-
-    callbacks = []
-    if cfg.get("image_logger"):
-        from neurosis_tpu.trainer.callbacks import ImageLogger
-
-        il = dict(cfg["image_logger"])
-        callbacks.append(
-            ImageLogger(
-                every_n_train_steps=il.get("every_n_train_steps", 100),
-                max_images=il.get("max_images", 4),
-                log_before_start=il.get("log_before_start", False),
-            )
-        )
-    if cfg.get("model_checkpoint"):
-        from neurosis_tpu.trainer.callbacks import CheckpointCallback
-
-        mc = dict(cfg["model_checkpoint"])
-        callbacks.append(CheckpointCallback(every_n_train_steps=mc.get("every_n_train_steps", 1000)))
-
-    # distribution (Lightning trainer.devices/strategy → mesh axes; SURVEY §2.8):
-    # `strategy: auto|ddp` = data-parallel over all devices; `strategy: fsdp`
-    # additionally shards params/opt-state (fsdp axis = all devices unless an
-    # explicit `fsdp:` size is given).
+def _mesh_args(trainer_cfg: dict):
+    """Lightning trainer.devices/strategy → (devices, fsdp) mesh axes (SURVEY
+    §2.8): `strategy: auto|ddp` = data-parallel over all devices; `strategy:
+    fsdp` additionally shards params/opt-state (fsdp axis = all devices unless
+    an explicit `fsdp:` size is given)."""
     devices = trainer_cfg.get("devices")
     strategy = str(trainer_cfg.get("strategy", "") or "")
     fsdp = int(trainer_cfg.get("fsdp", 0) or 0)
@@ -99,7 +86,46 @@ def run_fit(args) -> int:
 
         n = len(jax.devices()) if devices in ("auto", -1, None) else int(devices)
         fsdp = n
-    fsdp = max(fsdp, 1)
+    return devices, max(fsdp, 1)
+
+
+def _build(args):
+    """Shared setup: config → (cfg, engine, dataset, trainer)."""
+    from neurosis_tpu.config import instantiate, load_config
+    from neurosis_tpu.trainer.builder import build_engine
+    from neurosis_tpu.trainer.loop import Trainer
+
+    cfg = load_config(args.config)
+    trainer_cfg = cfg.get("trainer", {}) or {}
+
+    engine = build_engine(cfg["model"])
+    dataset = instantiate(cfg["data"]) if "data" in cfg else None
+
+    fast_dev = trainer_cfg.get("fast_dev_run", False)
+    if getattr(args, "fast_dev_run", None) is not None:
+        fast_dev = args.fast_dev_run
+    max_steps = getattr(args, "max_steps", None) or trainer_cfg.get("max_steps", 1000)
+
+    callbacks = []
+    if cfg.get("image_logger"):
+        from neurosis_tpu.trainer.callbacks import ImageLogger
+
+        il = dict(cfg["image_logger"])
+        callbacks.append(
+            ImageLogger(
+                every_n_train_steps=il.get("every_n_train_steps", 100),
+                max_images=il.get("max_images", 4),
+                num_steps=(il.get("log_func_kwargs") or {}).get("num_steps"),
+                log_before_start=il.get("log_before_start", False),
+            )
+        )
+    if cfg.get("model_checkpoint"):
+        from neurosis_tpu.trainer.callbacks import CheckpointCallback
+
+        mc = dict(cfg["model_checkpoint"])
+        callbacks.append(CheckpointCallback(every_n_train_steps=mc.get("every_n_train_steps", 1000)))
+
+    devices, fsdp = _mesh_args(trainer_cfg)
 
     trainer = Trainer(
         engine,
@@ -113,8 +139,15 @@ def run_fit(args) -> int:
         loss_hooks=getattr(engine, "loss_hooks", ()),
         devices=devices,
         fsdp=fsdp,
+        wandb_config=_wandb_config(trainer_cfg),
     )
+    return cfg, engine, dataset, trainer
 
+
+def _batch_factory(cfg, dataset):
+    """Dataset → per-epoch batch iterable (rank-strided multi-host, optional
+    process-pool prefetch)."""
+    data_node = cfg.get("data") or {}
     num_workers = int((data_node.get("init_args") or {}).get("num_workers", 2) or 0)
 
     def index_batches():
@@ -137,8 +170,39 @@ def run_fit(args) -> int:
             for idx_batch in index_batches():
                 yield dataset.get_batch(idx_batch)
 
-    state, frozen = trainer.fit(batches)
+    return batches
+
+
+def run_fit(args) -> int:
+    cfg, engine, dataset, trainer = _build(args)
+    if dataset is None:
+        raise ValueError("fit requires a `data:` node in the config")
+    state, frozen = trainer.fit(_batch_factory(cfg, dataset))
     logger.info(f"fit complete at step {int(state.step)}")
+    return 0
+
+
+def run_validate(args) -> int:
+    cfg, engine, dataset, trainer = _build(args)
+    if dataset is None:
+        raise ValueError("validate requires a `data:` node in the config")
+    metrics = trainer.validate(_batch_factory(cfg, dataset), max_batches=args.max_batches)
+    logger.info("validate: " + ", ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+    print(__import__("json").dumps({"val/" + k: v for k, v in metrics.items()}))
+    return 0
+
+
+def run_predict(args) -> int:
+    import numpy as np
+
+    cfg, engine, dataset, trainer = _build(args)
+    if engine.sampler is None:
+        raise ValueError("predict requires a `sampler:` in the model config")
+    prompts = args.prompt or ["a photograph of an astronaut riding a horse"]
+    out_dir = args.out or (trainer.root_dir / "predictions")
+    paths = trainer.predict(prompts, out_dir=out_dir, size=args.size, num_steps=args.steps)
+    for p in paths:
+        logger.info(f"wrote {p}")
     return 0
 
 

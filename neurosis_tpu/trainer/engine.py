@@ -56,6 +56,7 @@ class DiffusionEngine:
     ema_decay: float = 0.9999
     latents_key: Optional[str] = "latents"  # batch may carry pre-encoded latents
     trainable_embedders: Sequence[int] = ()  # indices of trainable conditioner embedders
+    log_sigmas: bool = False  # per-sample loss/sigma breakdown (diffusion.py:216-232)
 
     # ------------------------------------------------------------------
     # init
@@ -166,7 +167,14 @@ class DiffusionEngine:
         if "loss_scale" in batch:
             # per-sample multipliers from loss hooks (TagFrequencyHook contract)
             per_sample = per_sample * batch["loss_scale"].astype(per_sample.dtype)
-        return per_sample.mean(), {"loss": per_sample.mean()}
+        metrics = {"loss": per_sample.mean()}
+        if self.log_sigmas:
+            # `train/loss_s0`-style breakdown (models/diffusion.py:216-232):
+            # sample-0's loss, the spread across the batch's drawn sigmas
+            metrics["loss_s0"] = per_sample[0]
+            metrics["loss_smax"] = per_sample.max()
+            metrics["loss_smin"] = per_sample.min()
+        return per_sample.mean(), metrics
 
     def train_step(self, state: TrainState, frozen: dict, batch: dict):
         """One optimization step; pure — wrap in jit/shard_map outside."""
@@ -191,6 +199,16 @@ class DiffusionEngine:
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
+    def eval_step(self, state: TrainState, frozen: dict, batch: dict):
+        """Loss-only step for `validate` (no grads, no optimizer update)."""
+        rng, vae_rng, step_rng = next_rngs(state.rng, 2)
+        if self.latents_key and self.latents_key in batch:
+            latents = batch[self.latents_key]
+        else:
+            latents = self.encode_first_stage(frozen, batch[self.input_key], vae_rng)
+        _, metrics = self.loss(state.params, frozen, batch, latents, step_rng)
+        return state._replace(rng=rng), metrics
+
     # ------------------------------------------------------------------
     # sampling / eval (models/diffusion.py:298-313, 423-445)
     # ------------------------------------------------------------------
@@ -214,11 +232,12 @@ class DiffusionEngine:
         uc: Optional[dict],
         rng: jax.Array,
         shape: tuple,
+        num_steps: Optional[int] = None,
     ) -> jax.Array:
         randn = jax.random.normal(rng, shape)
         if self.sampler is None:
             raise ValueError("no sampler configured")
-        return self.sampler(self.denoiser_fn(params), randn, cond, uc)
+        return self.sampler(self.denoiser_fn(params), randn, cond, uc, num_steps=num_steps)
 
     def log_images(
         self,

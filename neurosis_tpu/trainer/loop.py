@@ -26,6 +26,8 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+from contextlib import nullcontext as _nullcontext  # noqa: E402
+
 
 class HashTokenizer:
     """Deterministic fallback tokenizer when no CLIP vocab is on disk.
@@ -113,6 +115,7 @@ class Trainer:
         debug_nans: bool = False,
         devices: Any = None,
         fsdp: int = 1,
+        wandb_config: Optional[dict] = None,
     ):
         if debug_nans:
             # detect_anomaly parity (SURVEY §5.2): trap NaNs at the op level
@@ -127,7 +130,7 @@ class Trainer:
         self.loss_hooks = list(loss_hooks)
         self.tokenizer = tokenizer or get_tokenizer(max_length=token_max_length)
         self.caption_key = caption_key
-        self.logger = JsonlLogger(self.root_dir / "logs")
+        self.logger = JsonlLogger(self.root_dir / "logs", wandb_config=wandb_config)
         self._step_fns: dict = {}  # shape-keyed jitted steps
         # distribution: Lightning `devices:`/`strategy:` → a (data, fsdp) mesh
         self.devices = devices
@@ -316,6 +319,106 @@ class Trainer:
             if hasattr(cb, "on_fit_end"):
                 cb.on_fit_end(self, state)
         return state, frozen
+
+    # -- validate / predict (LightningCLI validate/predict surface,
+    # trainer/cli.py:131-149) ------------------------------------------------
+
+    def validate(self, batch_iter_factory, max_batches: Optional[int] = None) -> dict:
+        """Loss-only evaluation: mean metrics over the dataset (no updates)."""
+        if self.mesh is None:
+            self.mesh = self._build_mesh()
+        rng = jax.random.PRNGKey(self.seed)
+        state = frozen = None
+        eval_fns: dict = {}
+        sums: dict = {}
+        n = 0
+        ctx = self.mesh if self.mesh is not None else _nullcontext()
+        with ctx:
+            for batch in batch_iter_factory():
+                if max_batches is not None and n >= max_batches:
+                    break
+                prepped = self.prepare_batch(batch)
+                if state is None:
+                    state, frozen = self.engine.init(rng, prepped)
+                    if getattr(self.engine, "ckpt_path", None):
+                        state, frozen = self._load_ckpt(state, frozen)
+                    state = self._maybe_resume(state)
+                    state = self._shard(state)
+                    frozen = self._shard(frozen)
+                key = prepped[self.engine.input_key].shape
+                if key not in eval_fns:
+                    eval_fns[key] = jax.jit(self.engine.eval_step)
+                prepped = self._place_batch(prepped)
+                state, metrics = eval_fns[key](state, frozen, prepped)
+                for k, v in metrics.items():
+                    try:
+                        sums[k] = sums.get(k, 0.0) + float(v)
+                    except (TypeError, ValueError):
+                        pass
+                n += 1
+        if n == 0:
+            return {}
+        out = {k: v / n for k, v in sums.items()}
+        out["num_batches"] = float(n)
+        self.logger.log(out, int(state.step) if state is not None else 0)
+        return out
+
+    def predict(
+        self,
+        prompts: Sequence[str],
+        out_dir,
+        size: int = 1024,
+        num_steps: Optional[int] = None,
+        batch_extras: Optional[dict] = None,
+    ) -> list:
+        """Sample images for `prompts` with the engine's configured sampler and
+        save PNGs to `out_dir` (predict subcommand surface)."""
+        from neurosis_tpu.utils.image import save_image_grid
+
+        prompts = list(prompts)
+        n = len(prompts)
+        batch = {
+            self.caption_key: prompts,
+            self.engine.input_key: np.zeros((n, size, size, 3), np.float32),
+            # SDXL micro-conditioning defaults (original size / crop / target)
+            "original_size_as_tuple": np.tile(np.array([[size, size]], np.float32), (n, 1)),
+            "crop_coords_top_left": np.zeros((n, 2), np.float32),
+            "target_size_as_tuple": np.tile(np.array([[size, size]], np.float32), (n, 1)),
+        }
+        if batch_extras:
+            batch.update(batch_extras)
+        prepped = self.prepare_batch(batch)
+        rng = jax.random.PRNGKey(self.seed)
+        state, frozen = self.engine.init(rng, prepped)
+        if getattr(self.engine, "ckpt_path", None):
+            state, frozen = self._load_ckpt(state, frozen)
+        state = self._maybe_resume(state)
+
+        cond_params = {"params": self.engine._merged_cond_params(state.params, frozen)}
+        c, uc = self.engine.conditioner.get_unconditional_conditioning(cond_params, prepped)
+        shape = (n, size // 8, size // 8, self.engine.model.in_channels)
+        latents = self.engine.sample(
+            state.params, frozen, c, uc, jax.random.PRNGKey(self.seed + 1), shape, num_steps=num_steps
+        )
+        decoded = self.engine.decode_first_stage(frozen, latents)
+
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        paths = []
+        from PIL import Image
+
+        for i in range(n):
+            img = np.asarray(decoded[i])
+            img = ((np.clip(img, -1, 1) + 1) * 127.5).astype(np.uint8)
+            p = out_dir / f"sample_{i:03d}.png"
+            Image.fromarray(img).save(p)
+            paths.append(p)
+        save_image_grid(
+            [np.asarray(decoded[i]) for i in range(n)],
+            out_dir / "grid.png",
+            captions=prompts,
+        )
+        return paths
 
     def _load_ckpt(self, state, frozen):
         from neurosis_tpu.checkpoint.sgm import load_sgm_checkpoint

@@ -51,3 +51,48 @@ def test_registry_resolves_reference_paths():
     import optax
 
     assert resolve_class_path("optax.adamw") is optax.adamw
+
+
+def test_cli_validate_smoke(smoke_data, monkeypatch, capsys):
+    from neurosis_tpu.trainer.cli import main
+
+    monkeypatch.setenv("NEUROSIS_SMOKE_DATA", str(smoke_data))
+    rc = main(["validate", "-c", "configs/smoke/sd15-tiny.yaml", "--max-batches", "2"])
+    assert rc == 0
+    import json
+
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics = json.loads(out)
+    assert "val/loss" in metrics and np.isfinite(metrics["val/loss"])
+
+
+def test_cli_predict_smoke(smoke_data, monkeypatch, tmp_path):
+    from neurosis_tpu.trainer.cli import main
+
+    monkeypatch.setenv("NEUROSIS_SMOKE_DATA", str(smoke_data))
+    out_dir = tmp_path / "preds"
+    rc = main(
+        [
+            "predict",
+            "-c",
+            "configs/smoke/sd15-tiny.yaml",
+            "--prompt",
+            "a tiny test prompt",
+            "--size",
+            "64",
+            "--steps",
+            "4",
+            "--out",
+            str(out_dir),
+        ]
+    )
+    assert rc == 0
+    assert (out_dir / "sample_000.png").exists()
+    assert (out_dir / "grid.png").exists()
+
+
+def test_engine_dispatch_rejects_unknown():
+    from neurosis_tpu.trainer.builder import build_engine
+
+    with pytest.raises(NotImplementedError):
+        build_engine({"class_path": "neurosis.models.SomethingElse"})

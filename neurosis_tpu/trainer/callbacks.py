@@ -112,14 +112,50 @@ class ImageLogger:
         logger.info(f"logged sample images at step {step} → {out_dir}")
 
 
-class CheckpointCallback:
-    """Orbax state checkpointing (ModelCheckpoint + BlobCheckpointIO roles)."""
+def _state_payload(state) -> dict:
+    """Full trainer state (the reference .ckpt carries optimizer/loop state)."""
+    payload = {"params": state.params, "step": int(state.step)}
+    if getattr(state, "opt_state", None) is not None:
+        payload["opt_state"] = state.opt_state
+    if getattr(state, "ema", None) is not None:
+        payload["ema_params"] = state.ema.params
+        payload["ema_num_updates"] = int(state.ema.num_updates)
+    return payload
 
-    def __init__(self, dirpath: Optional[str] = None, every_n_train_steps: int = 1000, keep: int = 3):
+
+class CheckpointCallback:
+    """State checkpointing (ModelCheckpoint + BlobCheckpointIO roles).
+
+    Local dirs go through orbax; `dirpath` with an fsspec scheme
+    (gs://, az://, s3://, memory://) goes through BlobCheckpointIO
+    (checkpoint_io.py:17-62 semantics: buffer, write, never block training).
+    """
+
+    def __init__(
+        self,
+        dirpath: Optional[str] = None,
+        every_n_train_steps: int = 1000,
+        keep: int = 3,
+        storage_options: Optional[dict] = None,
+    ):
         self.dirpath = dirpath
         self.every_n = every_n_train_steps
         self.keep = keep
+        self.storage_options = storage_options
         self._mgr = None
+        self._blob = None
+
+    def _is_remote(self) -> bool:
+        from neurosis_tpu.checkpoint.blob import is_remote_url
+
+        return is_remote_url(self.dirpath)
+
+    def _blob_io(self):
+        if self._blob is None:
+            from neurosis_tpu.checkpoint.blob import BlobCheckpointIO
+
+            self._blob = BlobCheckpointIO(self.dirpath, storage_options=self.storage_options)
+        return self._blob
 
     def _manager(self, trainer):
         if self._mgr is None:
@@ -135,22 +171,22 @@ class CheckpointCallback:
     def on_train_batch_end(self, trainer, state, frozen, batch, metrics, step: int):
         if step % self.every_n != 0:
             return
-        import orbax.checkpoint as ocp
+        payload = _state_payload(state)
+        if self._is_remote():
+            blob = self._blob_io()
+            blob.save_checkpoint(payload, step)
+            blob.prune(self.keep)
+        else:
+            import orbax.checkpoint as ocp
 
-        mgr = self._manager(trainer)
-        payload = {"params": state.params, "step": int(state.step)}
-        # full trainer state (the reference .ckpt carries optimizer/loop state)
-        if getattr(state, "opt_state", None) is not None:
-            payload["opt_state"] = state.opt_state
-        if getattr(state, "ema", None) is not None:
-            payload["ema_params"] = state.ema.params
-            payload["ema_num_updates"] = int(state.ema.num_updates)
-        mgr.save(step, args=ocp.args.StandardSave(payload))
+            self._manager(trainer).save(step, args=ocp.args.StandardSave(payload))
         logger.info(f"saved checkpoint at step {step}")
 
     def on_fit_end(self, trainer, state):
         if self._mgr is not None:
             self._mgr.wait_until_finished()
+        if self._blob is not None:
+            self._blob.wait()
 
 
 class DeviceStatsCallback:

@@ -119,11 +119,22 @@ def _build(args):
                 log_before_start=il.get("log_before_start", False),
             )
         )
+    remote_ckpt_url = None
     if cfg.get("model_checkpoint"):
+        from neurosis_tpu.checkpoint.blob import is_remote_url
         from neurosis_tpu.trainer.callbacks import CheckpointCallback
 
         mc = dict(cfg["model_checkpoint"])
-        callbacks.append(CheckpointCallback(every_n_train_steps=mc.get("every_n_train_steps", 1000)))
+        callbacks.append(
+            CheckpointCallback(
+                dirpath=mc.get("dirpath"),
+                every_n_train_steps=mc.get("every_n_train_steps", 1000),
+                keep=mc.get("save_top_k", mc.get("keep", 3)) or 3,
+                storage_options=mc.get("storage_options"),
+            )
+        )
+        if is_remote_url(mc.get("dirpath")):
+            remote_ckpt_url = mc["dirpath"]
 
     devices, fsdp = _mesh_args(trainer_cfg)
 
@@ -140,6 +151,7 @@ def _build(args):
         devices=devices,
         fsdp=fsdp,
         wandb_config=_wandb_config(trainer_cfg),
+        remote_checkpoint_url=trainer_cfg.get("remote_checkpoint_url") or remote_ckpt_url,
     )
     return cfg, engine, dataset, trainer
 

@@ -116,6 +116,7 @@ class Trainer:
         devices: Any = None,
         fsdp: int = 1,
         wandb_config: Optional[dict] = None,
+        remote_checkpoint_url: Optional[str] = None,
     ):
         if debug_nans:
             # detect_anomaly parity (SURVEY §5.2): trap NaNs at the op level
@@ -136,6 +137,7 @@ class Trainer:
         self.devices = devices
         self.fsdp = int(fsdp or 1)
         self.mesh = None  # built lazily in fit()
+        self.remote_checkpoint_url = remote_checkpoint_url
 
     # -- mesh / sharding ----------------------------------------------------
 
@@ -430,8 +432,13 @@ class Trainer:
             return state, frozen
 
     def _maybe_resume(self, state):
-        """Resume params/step from the latest orbax checkpoint in the run dir
+        """Resume params/step from the latest checkpoint: the remote blob store
+        when `remote_checkpoint_url` is set, else the local orbax run dir
         (get_checkpoint_name parity, trainer/util.py:97-120)."""
+        if self.remote_checkpoint_url:
+            resumed = self._resume_remote(state)
+            if resumed is not None:
+                return resumed
         ckpt_dir = (self.root_dir / "checkpoints").absolute()
         if not ckpt_dir.exists():
             return state
@@ -470,6 +477,41 @@ class Trainer:
         except Exception:
             logger.exception("checkpoint resume failed; starting fresh")
             return state
+
+    def _resume_remote(self, state):
+        """Pull the latest checkpoint from the blob store (BlobCheckpointIO
+        load path, checkpoint_io.py:49-57). Returns None when nothing there."""
+        try:
+            from neurosis_tpu.checkpoint.blob import BlobCheckpointIO
+            from neurosis_tpu.trainer.callbacks import _state_payload
+
+            blob = BlobCheckpointIO(self.remote_checkpoint_url)
+            latest = blob.latest_step()
+            if latest is None:
+                return None
+            template = jax.tree_util.tree_map(lambda x: np.asarray(x), _state_payload(state))
+            restored = blob.load_checkpoint(latest, template)
+            logger.info(f"resumed from remote checkpoint step {latest} ({self.remote_checkpoint_url})")
+            import jax.numpy as jnp
+
+            new = state._replace(
+                params=restored["params"], step=jnp.asarray(restored["step"], jnp.int32)
+            )
+            if "opt_state" in restored:
+                new = new._replace(opt_state=restored["opt_state"])
+            if "ema_params" in restored and state.ema is not None:
+                from neurosis_tpu.modules.ema import EmaState
+
+                new = new._replace(
+                    ema=EmaState(
+                        restored["ema_params"],
+                        jnp.asarray(restored.get("ema_num_updates", 0), jnp.int32),
+                    )
+                )
+            return new
+        except Exception:
+            logger.exception("remote checkpoint resume failed; trying local")
+            return None
 
     def _crash_dump(self, state):
         try:

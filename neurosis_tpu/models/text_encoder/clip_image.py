@@ -2,8 +2,10 @@
 
 ViT image encoder in open_clip's key layout (visual.conv1/class_embedding/
 positional_embedding/ln_pre/transformer.resblocks/ln_post/proj). Preprocessing
-(bicubic resize to 224, [-1,1]→[0,1]→CLIP mean/std) replaces kornia with
-jax.image — all inside jit.
+(bicubic resize to 224, [-1,1]→[0,1]→CLIP mean/std) replaces kornia with an
+exact-torch-semantics matmul resize (ops/resize.py) — all inside jit.
+Golden-tested against a torch replica on shared weights
+(tests/test_clip_image_parity.py).
 """
 
 from __future__ import annotations
@@ -32,9 +34,9 @@ class _ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = _ln(x, None, "ln_1", self)
+        h = _ln(x, "ln_1")
         x = x + _BidirAttention(self.width, self.heads, dtype=self.dtype, name="attn")(h)
-        h = _ln(x, None, "ln_2", self)
+        h = _ln(x, "ln_2")
         h = nn.Dense(self.width * 4, dtype=self.dtype, param_dtype=jnp.float32, name="mlp.c_fc")(h)
         h = nn.gelu(h, approximate=False)
         return x + nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="mlp.c_proj")(h)
@@ -100,11 +102,11 @@ class OpenCLIPVisionTower(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls[None, None], (b, 1, self.width)).astype(x.dtype), x], 1)
         x = x + pos.astype(x.dtype)
 
-        x = _ln(x, None, "ln_pre", self)
+        x = _ln(x, "ln_pre")
         for i in range(self.layers):
             x = _ViTBlock(self.width, self.heads, dtype=self.dtype, name=f"transformer.resblocks.{i}")(x)
 
-        pooled = _ln(x[:, 0], None, "ln_post", self)
+        pooled = _ln(x[:, 0], "ln_post")
         tokens = x[:, 1:]
         proj = self.param("proj", nn.initializers.normal(0.01), (self.width, self.output_dim), jnp.float32)
         return pooled @ proj.astype(pooled.dtype), tokens
@@ -129,8 +131,13 @@ class FrozenOpenCLIPImageEmbedder(AbstractEmbModel):
 
     @nn.compact
     def __call__(self, image: jax.Array) -> Tuple[jax.Array, ...]:
-        b, h, w, c = image.shape
-        x = jax.image.resize(image, (b, 224, 224, c), method="bicubic", antialias=self.antialias)
+        from neurosis_tpu.ops.resize import bicubic_resize
+
+        # exact kornia.geometry.resize(..., 'bicubic', align_corners=True,
+        # antialias) semantics (clip.py:439-451), as two MXU matmuls
+        x = bicubic_resize(
+            image, (self.image_size, self.image_size), align_corners=True, antialias=self.antialias
+        )
         x = (x + 1.0) / 2.0
         x = (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
 

@@ -184,7 +184,10 @@ class UNetModel(nn.Module):
     use_linear_in_transformer: bool = False
     adm_in_channels: Optional[int] = None
     context_axis: Optional[str] = None  # ring self-attention mesh axis (seq parallel)
-    remat_policy: str = "full"  # transformer-block remat: full | dots | none
+    # transformer-block remat: full | dots | dots_all | names | none — one
+    # global string, or a per-level sequence (e.g. ["none", "none", "full"]
+    # saves level-0/1 activations and remats only the deep level-2 stacks)
+    remat_policy: Union[str, Sequence[str]] = "full"
     dtype: Optional[Dtype] = None
 
     def _res_blocks(self) -> Sequence[int]:
@@ -271,6 +274,9 @@ class UNetModel(nn.Module):
                 disable_sa = self.disable_self_attentions[level]
             else:
                 disable_sa = False
+            policy = self.remat_policy
+            if not isinstance(policy, str):
+                policy = policy[level]
             return SpatialTransformer(
                 in_channels=ch,
                 n_heads=nh,
@@ -281,7 +287,7 @@ class UNetModel(nn.Module):
                 disable_self_attn=disable_sa,
                 use_linear=self.use_linear_in_transformer,
                 use_checkpoint=self.use_checkpoint,
-                remat_policy=self.remat_policy,
+                remat_policy=policy,
                 context_axis=self.context_axis,
                 dtype=self.dtype,
                 name=name,

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -95,6 +96,9 @@ class CrossAttention(nn.Module):
         axis = self.context_axis if context is None else None
         out = dot_product_attention(q, k, v, context_axis=axis)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, inner)
+        # named for the "names" remat policy: saving the attention output
+        # skips re-running the flash kernel in the bwd remat pass
+        out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
 
         out = Dense(self.query_dim, dtype=self.dtype, name="to_out.0")(out)
         if self.dropout > 0.0:
@@ -180,7 +184,15 @@ class SpatialTransformer(nn.Module):
     disable_self_attn: bool = False
     use_linear: bool = False
     use_checkpoint: bool = True
-    remat_policy: str = "full"  # full | dots | none (jax.checkpoint policy)
+    # jax.checkpoint policy per transformer block:
+    #   full     — recompute everything in bwd (min memory, ~11% extra FLOPs)
+    #   dots     — save dot outputs with no batch dims (≈full here: every
+    #              transformer matmul has a batch dim)
+    #   dots_all — save ALL matmul outputs, recompute elementwise only
+    #   names    — save the flash-attention outputs (checkpoint_name), skip
+    #              re-running the attention kernel in bwd
+    #   none     — no remat (max memory)
+    remat_policy: str = "full"
     context_axis: Optional[str] = None
     dtype: Optional[Dtype] = None
 
@@ -209,9 +221,11 @@ class SpatialTransformer(nn.Module):
 
             policy = None  # "full": recompute everything
             if self.remat_policy == "dots":
-                # keep matmul outputs, recompute elementwise — less recompute
-                # FLOPs than full remat at moderate memory cost
                 policy = adc.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif self.remat_policy == "dots_all":
+                policy = adc.checkpoint_policies.dots_saveable
+            elif self.remat_policy == "names":
+                policy = adc.checkpoint_policies.save_only_these_names("attn_out")
             block_cls = nn.remat(BasicTransformerBlock, static_argnums=(2,), policy=policy)
         for d in range(self.depth):
             x = block_cls(

@@ -68,12 +68,21 @@ def _populate():
         VQLPIPSWithDiscriminator,
     )
     from neurosis_tpu.losses.dreamsim import AutoencoderDreamsim
+    from neurosis_tpu.modules.regularizers import (
+        DiagonalGaussianRegularizer,
+        EMAVectorQuantizer,
+        GumbelQuantizer,
+        IdentityRegularizer,
+        VectorQuantizer,
+        VectorQuantizerWithInputProjection,
+    )
     from neurosis_tpu.losses.vae_loss import AutoencoderLPIPSWithDiscr, AutoencoderPerceptual, LatentLPIPS
     from neurosis_tpu.models.unet import UNetModel
     from neurosis_tpu.models.vae import Decoder, Encoder
     from neurosis_tpu.modules.encoders import (
         ConcatTimestepEmbedderND,
         FrozenCLIPEmbedder,
+        FrozenCLIPT5Encoder,
         FrozenOpenCLIPEmbedder2,
         GeneralConditioner,
         IdentityEncoder,
@@ -141,8 +150,16 @@ def _populate():
         "neurosis.modules.encoders.GeneralConditioner": GeneralConditioner,
         "neurosis.models.text_encoder.FrozenCLIPEmbedder": FrozenCLIPEmbedder,
         "neurosis.models.text_encoder.FrozenOpenCLIPEmbedder2": FrozenOpenCLIPEmbedder2,
+        "neurosis.models.text_encoder.FrozenCLIPT5Encoder": FrozenCLIPT5Encoder,
         "neurosis.modules.encoders.metadata.ConcatTimestepEmbedderND": ConcatTimestepEmbedderND,
         "neurosis.modules.encoders.misc.IdentityEncoder": IdentityEncoder,
+        # regularizers (quantize.py / regularizers/__init__.py)
+        "neurosis.modules.autoencoding.regularizers.DiagonalGaussianRegularizer": DiagonalGaussianRegularizer,
+        "neurosis.modules.autoencoding.regularizers.IdentityRegularizer": IdentityRegularizer,
+        "neurosis.modules.autoencoding.regularizers.quantize.VectorQuantizer": VectorQuantizer,
+        "neurosis.modules.autoencoding.regularizers.quantize.GumbelQuantizer": GumbelQuantizer,
+        "neurosis.modules.autoencoding.regularizers.quantize.EMAVectorQuantizer": EMAVectorQuantizer,
+        "neurosis.modules.autoencoding.regularizers.quantize.VectorQuantizerWithInputProjection": VectorQuantizerWithInputProjection,
         # losses
         "neurosis.modules.autoencoding.losses.AutoencoderPerceptual": AutoencoderPerceptual,
         "neurosis.modules.autoencoding.losses.AutoencoderLPIPSWithDiscr": AutoencoderLPIPSWithDiscr,

@@ -1,5 +1,6 @@
 """Conditioning: GeneralConditioner + embedder zoo."""
 
+from .clip_t5 import FrozenCLIPT5Encoder
 from .embedding import (
     ConcatTimestepEmbedderND,
     FrozenCLIPEmbedder,
@@ -11,6 +12,7 @@ from .embedding import (
 
 __all__ = [
     "ConcatTimestepEmbedderND",
+    "FrozenCLIPT5Encoder",
     "FrozenCLIPEmbedder",
     "FrozenOpenCLIPEmbedder2",
     "GeneralConditioner",

@@ -50,6 +50,10 @@ class AbstractEmbModel(nn.Module):
         """Batch key holding this embedder's tokenized input (None = numeric)."""
         return None
 
+    def token_keys(self) -> Optional[list]:
+        """Multiple token streams (multi-tokenizer embedders); None = single."""
+        return None
+
 
 class FrozenCLIPEmbedder(AbstractEmbModel):
     """HF CLIP-L text encoder embedder (clip.py:22-196).
@@ -212,6 +216,12 @@ def with_embedder_names(embedders: Sequence[AbstractEmbModel]) -> tuple:
     return tuple(out)
 
 
+def _uncond_key(token_key: str, input_key: str) -> str:
+    """'caption_t5_ids' → 'uncond_t5_ids' (falls back to 'uncond_ids')."""
+    suffix = token_key[len(input_key):] if token_key.startswith(input_key) else "_ids"
+    return f"uncond{suffix}"
+
+
 class GeneralConditioner(nn.Module):
     """Routes embedder outputs into {'vector','crossattn','concat'} cond dicts.
 
@@ -237,7 +247,27 @@ class GeneralConditioner(nn.Module):
         output: dict[str, jax.Array] = {}
         for idx, embedder in enumerate(self.embedders):
             tkey = embedder.token_key()
-            if tkey is not None:
+            tkeys = embedder.token_keys() if hasattr(embedder, "token_keys") else None
+            if tkeys is not None:
+                # multi-tokenizer embedder (FrozenCLIPT5Encoder): one UCG draw
+                # swaps ALL token streams to their uncond rows together
+                inputs = tuple(batch[k] for k in tkeys)
+                if rng is not None and embedder.ucg_rate > 0.0:
+                    rng, sub = jax.random.split(rng)
+                    swap = jax.random.uniform(sub) < embedder.ucg_rate
+                    inputs = tuple(
+                        jnp.where(
+                            swap,
+                            jnp.broadcast_to(
+                                batch.get(_uncond_key(k, embedder.input_key), batch["uncond_ids"]),
+                                x.shape,
+                            ),
+                            x,
+                        )
+                        for k, x in zip(tkeys, inputs)
+                    )
+                tkey = tkeys[0]  # token-style UCG already applied above
+            elif tkey is not None:
                 inputs = batch[tkey]
                 if rng is not None and embedder.ucg_rate > 0.0:
                     rng, sub = jax.random.split(rng)
@@ -276,10 +306,12 @@ class GeneralConditioner(nn.Module):
         if batch_uc is None:
             batch_uc = dict(batch_c)
             for embedder in self.embedders:
-                tkey = embedder.token_key()
-                if tkey is not None and tkey in batch_uc:
-                    batch_uc[tkey] = jnp.broadcast_to(
-                        batch_c["uncond_ids"], batch_c[tkey].shape
-                    )
+                tkeys = embedder.token_keys() or (
+                    [embedder.token_key()] if embedder.token_key() else []
+                )
+                for tkey in tkeys:
+                    if tkey in batch_uc:
+                        unc = batch_c.get(_uncond_key(tkey, embedder.input_key), batch_c["uncond_ids"])
+                        batch_uc[tkey] = jnp.broadcast_to(unc, batch_c[tkey].shape)
         uc = self.apply(params, batch_uc, rng=None, force_zero_embeddings=force_uc_zero_embeddings)
         return c, uc

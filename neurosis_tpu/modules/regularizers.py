@@ -152,3 +152,43 @@ class EMAVectorQuantizer(nn.Module):
         loss = self.beta * jnp.mean((jax.lax.stop_gradient(z_q) - z) ** 2)
         z_q = z + jax.lax.stop_gradient(z_q - z)
         return z_q, {self.loss_key: loss, "indices": idx.reshape(shape[:-1])}
+
+
+class VectorQuantizerWithInputProjection(nn.Module):
+    """VQ with in/out projections (quantize.py:412-461): project the encoder
+    features to the codebook dim, quantize, optionally project back out.
+
+    NHWC-native: 4D input [B,H,W,C] is flattened to tokens, quantized, and
+    (when output_dim is set) restored to [B,H,W,output_dim] — the reference's
+    channel-first rearranges collapse to plain reshapes here.
+    """
+
+    input_dim: int
+    n_codes: int
+    codebook_dim: int
+    beta: float = 1.0
+    output_dim: Optional[int] = None
+    log_perplexity: bool = False
+    loss_key: str = "loss/vq"
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> Tuple[jax.Array, dict]:
+        in_shape = z.shape
+        rearr = False
+        if z.ndim > 3:  # [B, ..., C] → [B, tokens, C]
+            rearr = self.output_dim is not None
+            z = z.reshape(in_shape[0], -1, in_shape[-1])
+        z = nn.Dense(self.codebook_dim, name="proj_in")(z)
+        z_q, log = VectorQuantizer(
+            n_e=self.n_codes,
+            e_dim=self.codebook_dim,
+            beta=self.beta,
+            log_perplexity=self.log_perplexity,
+            loss_key=self.loss_key,
+            name="quantizer",
+        )(z)
+        if self.output_dim is not None:
+            z_q = nn.Dense(self.output_dim, name="proj_out")(z_q)
+        if rearr:
+            z_q = z_q.reshape(in_shape[:-1] + (z_q.shape[-1],))
+        return z_q, log

@@ -110,6 +110,7 @@ class Trainer:
         callbacks: Sequence[Any] = (),
         loss_hooks: Sequence[Any] = (),
         tokenizer=None,
+        t5_tokenizer=None,
         caption_key: str = "caption",
         token_max_length: int = 77,
         debug_nans: bool = False,
@@ -130,6 +131,7 @@ class Trainer:
         self.callbacks = list(callbacks)
         self.loss_hooks = list(loss_hooks)
         self.tokenizer = tokenizer or get_tokenizer(max_length=token_max_length)
+        self.t5_tokenizer = t5_tokenizer
         self.caption_key = caption_key
         self.logger = JsonlLogger(self.root_dir / "logs", wandb_config=wandb_config)
         self._step_fns: dict = {}  # shape-keyed jitted steps
@@ -184,6 +186,17 @@ class Trainer:
                 chunks = max(chunks, int(emb.extended_chunks or 0))
         return chunks
 
+    def _needs_t5_ids(self) -> bool:
+        """Any embedder consuming a second '<caption>_t5_ids' token stream
+        (FrozenCLIPT5Encoder / FrozenT5Embedder)."""
+        conditioner = getattr(self.engine, "conditioner", None)
+        t5_key = f"{self.caption_key}_t5_ids"
+        for emb in getattr(conditioner, "embedders", ()) or ():
+            keys = (emb.token_keys() or []) if hasattr(emb, "token_keys") else []
+            if emb.token_key() == t5_key or t5_key in keys:
+                return True
+        return False
+
     def prepare_batch(self, batch: dict) -> dict:
         """Host batch → numeric device batch (tokenize captions, drop strings)."""
         out = {}
@@ -194,12 +207,22 @@ class Trainer:
                     out[f"{k}_ids"] = self.tokenizer.tokenize_extended(list(v), chunks)
                 else:
                     out[f"{k}_ids"] = self.tokenizer(list(v))
+                if self.t5_tokenizer is not None and f"{k}_t5_ids" not in batch:
+                    out[f"{k}_t5_ids"] = self.t5_tokenizer(list(v))
             elif isinstance(v, np.ndarray):
                 out[k] = v
             elif isinstance(v, (list, tuple)) and v and isinstance(v[0], (int, float)):
                 out[k] = np.asarray(v)
         if f"{self.caption_key}_ids" in out and "uncond_ids" not in out:
             out["uncond_ids"] = self.tokenizer([""])
+        if f"{self.caption_key}_t5_ids" in out and "uncond_t5_ids" not in out and self.t5_tokenizer is not None:
+            out["uncond_t5_ids"] = self.t5_tokenizer([""])
+        if self._needs_t5_ids() and f"{self.caption_key}_t5_ids" not in out:
+            raise ValueError(
+                "conditioner expects T5 token ids but no t5_tokenizer is set and "
+                f"the batch has no '{self.caption_key}_t5_ids' — pass Trainer(t5_tokenizer=...) "
+                "or tokenize in the dataset"
+            )
         return out
 
     def _step_fn(self, shape_key):

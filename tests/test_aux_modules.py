@@ -120,3 +120,44 @@ def test_model_summary():
     assert count_params(params) == 22
     table = summarize(params)
     assert "TOTAL" in table and "22" in table
+
+
+def test_vector_quantizer_with_input_projection():
+    """quantize.py:412-461: proj_in -> VQ -> proj_out, 3D and 4D (NHWC) paths,
+    straight-through gradients reach the input."""
+    import jax
+    import jax.numpy as jnp
+
+    from neurosis_tpu.modules.regularizers import VectorQuantizerWithInputProjection
+
+    vq = VectorQuantizerWithInputProjection(input_dim=12, n_codes=16, codebook_dim=6, output_dim=12)
+    rng = np.random.RandomState(0)
+    z4 = jnp.asarray(rng.randn(2, 4, 4, 12).astype(np.float32))
+    params = vq.init(jax.random.PRNGKey(0), z4)["params"]
+    out, log = vq.apply({"params": params}, z4)
+    assert out.shape == (2, 4, 4, 12)
+    assert log["indices"].shape == (2, 16)
+    assert np.isfinite(float(log["loss/vq"]))
+
+    # tokens path (no output projection keeps codebook dim)
+    vq3 = VectorQuantizerWithInputProjection(input_dim=12, n_codes=16, codebook_dim=6)
+    z3 = jnp.asarray(rng.randn(2, 5, 12).astype(np.float32))
+    p3 = vq3.init(jax.random.PRNGKey(1), z3)["params"]
+    out3, _ = vq3.apply({"params": p3}, z3)
+    assert out3.shape == (2, 5, 6)
+
+    # straight-through: grads flow to the encoder side
+    def loss_fn(z):
+        o, log = vq.apply({"params": params}, z)
+        return jnp.sum(o**2) + log["loss/vq"]
+
+    g = jax.grad(loss_fn)(z4)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+    # config-path resolution
+    from neurosis_tpu.config import resolve_class_path
+
+    assert (
+        resolve_class_path("neurosis.modules.autoencoding.regularizers.quantize.VectorQuantizerWithInputProjection")
+        is VectorQuantizerWithInputProjection
+    )

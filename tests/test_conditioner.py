@@ -78,3 +78,44 @@ def test_fsdp_partition_specs():
     assert fsdp_partition_spec((320,), 8) == P()
     # indivisible: falls back to replicate
     assert fsdp_partition_spec((999, 1001), 8) == P()
+
+def test_clip_t5_combo_embedder():
+    """FrozenCLIPT5Encoder: two token streams -> two crossattn outputs
+    concatenated on the feature axis (clip_t5.py:12-35 + KEY2CATDIM)."""
+    from neurosis_tpu.modules.encoders import (
+        FrozenCLIPT5Encoder,
+        GeneralConditioner,
+        with_embedder_names,
+    )
+
+    combo = FrozenCLIPT5Encoder(
+        input_key="caption",
+        clip_vocab_size=64, clip_width=32, clip_layers=1, clip_heads=2, clip_max_length=8,
+        t5_vocab_size=64, t5_d_model=48, t5_d_kv=8, t5_d_ff=96, t5_num_layers=1,
+        t5_num_heads=2, t5_max_length=8,
+    )
+    assert combo.token_keys() == ["caption_ids", "caption_t5_ids"]
+    cond = GeneralConditioner(embedders=with_embedder_names([combo]))
+
+    rng = np.random.RandomState(0)
+    # reference semantics: both streams at the same max_length (77/77 there),
+    # feature-axis concat of the two crossattn tensors
+    batch = {
+        "caption_ids": rng.randint(0, 63, (2, 8)).astype(np.int32),
+        "caption_t5_ids": rng.randint(0, 63, (2, 8)).astype(np.int32),
+        "uncond_ids": np.zeros((1, 8), np.int32),
+        "uncond_t5_ids": np.zeros((1, 8), np.int32),
+    }
+    variables = cond.init(jax.random.PRNGKey(0), batch, rng=None)
+    out = cond.apply(variables, batch, rng=None)
+    assert out["crossattn"].shape == (2, 8, 32 + 48)
+
+    # uncond pair: swapping to uncond ids changes the embedding
+    c, uc = cond.get_unconditional_conditioning({"params": variables["params"]}, batch)
+    assert c["crossattn"].shape == uc["crossattn"].shape
+    assert not np.allclose(np.asarray(c["crossattn"]), np.asarray(uc["crossattn"]))
+
+    # params import under the reference's dotted layout
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    keys = {"/".join(str(k) for k in path) for path, _ in flat}
+    assert any("clip_encoder" in k for k in keys) and any("t5_encoder" in k for k in keys)

@@ -114,3 +114,56 @@ def test_sd15_ldm_remap():
     assert "conditioner.embedders.0.transformer.x" in out
     vae = extract_vae(state)
     assert list(vae) == ["encoder.z"]
+
+
+def test_vae_to_diffusers_export(tmp_path):
+    """vae2hf: sgm-layout VAE -> HF-diffusers dir (vae-neurosis2ldm.py -D):
+    key remap (resnets/attentions/mid_block, up-block reversal, 1x1-conv qkv
+    squeeze), config.json emission, tensor roundtrip."""
+    import jax
+    import numpy as np
+
+    from neurosis_tpu.checkpoint.torch_export import export_torch_state
+    from neurosis_tpu.models.autoencoder import AutoencoderKL
+    from neurosis_tpu.tools.convert import main as convert_main, sgm_vae_to_diffusers
+
+    dd = dict(double_z=True, z_channels=4, resolution=32, in_channels=3, out_ch=3,
+              ch=32, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[], dropout=0.0)
+    vae = AutoencoderKL(ddconfig=dd, embed_dim=4)
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    params = vae.init(jax.random.PRNGKey(0), x)["params"]
+    sgm_sd = export_torch_state(params)
+
+    hf = sgm_vae_to_diffusers(sgm_sd, num_levels=2)
+    keys = set(hf)
+    # resnet + downsampler/upsampler renames
+    assert any(k.startswith("encoder.down_blocks.0.resnets.0.") for k in keys)
+    assert any(k.startswith("decoder.up_blocks.") for k in keys)
+    assert "encoder.conv_norm_out.weight" in keys
+    # up-block order reversed: sgm decoder.up.1 (highest res) -> up_blocks.0
+    assert any(k.startswith("decoder.up_blocks.0.") for k in keys)
+    # mid attention: 1x1 convs became linear to_q/k/v
+    qk = [k for k in keys if "mid_block.attentions.0.to_q.weight" in k]
+    for k in qk:
+        assert hf[k].ndim == 2
+    # quant convs pass through
+    assert "quant_conv.weight" in keys and "post_quant_conv.weight" in keys
+    # no sgm-style names survive
+    assert not any(".nin_shortcut." in k or ".mid.attn_1." in k or k.startswith("encoder.down.") for k in keys)
+
+    # CLI end-to-end from a safetensors file
+    from safetensors.numpy import save_file
+
+    src = tmp_path / "vae.safetensors"
+    save_file({k: np.ascontiguousarray(v) for k, v in sgm_sd.items()}, str(src))
+    out_dir = tmp_path / "hf"
+    rc = convert_main(["vae2hf", str(src), str(out_dir), "-C", "sdxl"])
+    assert rc == 0
+    import json
+
+    cfg = json.loads((out_dir / "config.json").read_text())
+    assert cfg["_class_name"] == "AutoencoderKL" and cfg["scaling_factor"] == 0.13025
+    from safetensors.numpy import load_file
+
+    written = load_file(str(out_dir / "diffusion_pytorch_model.safetensors"))
+    np.testing.assert_array_equal(written["quant_conv.weight"], np.asarray(sgm_sd["quant_conv.weight"]))

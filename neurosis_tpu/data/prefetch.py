@@ -82,3 +82,85 @@ def prefetch_batches(
                 yield fut.result()
 
     return gen()
+
+
+# ---------------------------------------------------------------------------
+# process-based workers (the reference's DataLoader num_workers>0 equivalent,
+# imagefolder/aspect.py:256-265): PIL decode does NOT release the GIL for its
+# full cost — at production step rates threads starve the device, so decode/
+# augment runs in spawned worker processes.
+# ---------------------------------------------------------------------------
+
+
+def _proc_init(env: dict, dataset_blob: bytes):
+    """Worker init: force CPU jax BEFORE the dataset module imports anything
+    (a child grabbing the TPU would wedge the parent's device tunnel)."""
+    import os
+
+    os.environ.update(env)
+    import pickle
+
+    global _WORKER_DATASET
+    _WORKER_DATASET = pickle.loads(dataset_blob)
+    refresh = getattr(_WORKER_DATASET, "_refresh_clients", None)
+    if callable(refresh):  # mongo fork-safety contract (base.py:157-175)
+        refresh()
+
+
+def _proc_get_batch(indices):
+    return _WORKER_DATASET.get_batch(indices)
+
+
+def prefetch_batches_processes(
+    dataset,
+    batch_indices: Iterable[list],
+    num_workers: int = 2,
+    buffer_size: int = 4,
+) -> Iterator[dict]:
+    """Decode/collate batches in spawned worker processes, yielding in order.
+
+    The dataset is pickled once per worker (spawn context: no TPU client or
+    jit caches leak into children). Falls back to the thread pool if the
+    dataset cannot be pickled.
+    """
+    import pickle
+
+    try:
+        blob = pickle.dumps(dataset)
+    except Exception:
+        logger.warning("dataset not picklable — falling back to thread prefetch")
+        return prefetch_batches(dataset, batch_indices, num_workers, buffer_size)
+
+    from concurrent.futures import ProcessPoolExecutor
+    from multiprocessing import get_context
+
+    env = {"JAX_PLATFORMS": "cpu", "NEUROSIS_WORKER": "1"}
+
+    def gen():
+        with ProcessPoolExecutor(
+            max_workers=num_workers,
+            mp_context=get_context("spawn"),
+            initializer=_proc_init,
+            initargs=(env, blob),
+        ) as pool:
+            pending = []
+            it = iter(batch_indices)
+            for _ in range(max(buffer_size, num_workers)):
+                try:
+                    pending.append(pool.submit(_proc_get_batch, next(it)))
+                except StopIteration:
+                    break
+            while pending:
+                fut = pending.pop(0)
+                try:
+                    pending.append(pool.submit(_proc_get_batch, next(it)))
+                except StopIteration:
+                    pass
+                yield fut.result()
+
+    return gen()
+
+
+def make_prefetcher(mode: str = "process"):
+    """'process' | 'thread' → the matching prefetch_batches callable."""
+    return prefetch_batches_processes if mode == "process" else prefetch_batches

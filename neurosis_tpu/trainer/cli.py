@@ -175,9 +175,17 @@ def _batch_factory(cfg, dataset):
 
     def batches():
         if num_workers > 0:
-            from neurosis_tpu.data.prefetch import prefetch_batches
+            import os
 
-            yield from prefetch_batches(dataset, index_batches(), num_workers=num_workers)
+            from neurosis_tpu.data.prefetch import make_prefetcher
+
+            # worker processes by default (PIL decode holds the GIL; the
+            # reference uses DataLoader worker processes too) — override with
+            # NEUROSIS_PREFETCH=thread or data.init_args.prefetch_mode
+            mode = os.environ.get("NEUROSIS_PREFETCH") or (
+                (data_node.get("init_args") or {}).get("prefetch_mode", "process")
+            )
+            yield from make_prefetcher(mode)(dataset, index_batches(), num_workers=num_workers)
         else:
             for idx_batch in index_batches():
                 yield dataset.get_batch(idx_batch)

@@ -114,3 +114,45 @@ def test_prefetch_batches_order_and_content():
 
     with _pytest.raises(ValueError):
         list(it)
+
+
+def test_process_prefetch_matches_direct(tmp_path):
+    """Worker-process decode (DataLoader num_workers parity): same batches,
+    same order as direct iteration; unpicklable datasets fall back to threads."""
+    from PIL import Image
+
+    from neurosis_tpu.data.imagefolder import FolderSquareDataset
+    from neurosis_tpu.data.prefetch import make_prefetcher, prefetch_batches_processes
+
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rng.rand(48, 64, 3) * 255).astype("uint8")).save(tmp_path / f"i{i}.png")
+        (tmp_path / f"i{i}.txt").write_text(f"cap {i}")
+
+    # two same-seed datasets: get_batch draws from the dataset rng, so the
+    # direct pass must not advance the state the workers are pickled with
+    ds = FolderSquareDataset(folder=tmp_path, resolution=32, batch_size=2, seed=7)
+    ds2 = FolderSquareDataset(folder=tmp_path, resolution=32, batch_size=2, seed=7)
+    idx = list(ds.get_batch_iterator())
+    _ = list(ds2.get_batch_iterator())  # advance ds2.rng identically
+    direct = [ds.get_batch(i) for i in idx]
+
+    got = list(prefetch_batches_processes(ds2, iter(idx), num_workers=1))
+    assert len(got) == len(direct)
+    for a, b in zip(got, direct):
+        np.testing.assert_allclose(a["image"], b["image"], atol=0)
+        assert list(a["caption"]) == list(b["caption"])
+
+    assert make_prefetcher("process") is prefetch_batches_processes
+
+    # unpicklable dataset → thread fallback still yields everything
+    class Unpicklable:
+        def __init__(self, inner):
+            self.inner = inner
+            self.lock = __import__("threading").Lock()  # not picklable
+
+        def get_batch(self, i):
+            return self.inner.get_batch(i)
+
+    got2 = list(prefetch_batches_processes(Unpicklable(ds), iter(idx), num_workers=1))
+    assert len(got2) == len(direct)

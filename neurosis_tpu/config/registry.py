@@ -78,7 +78,7 @@ def _populate():
     )
     from neurosis_tpu.losses.vae_loss import AutoencoderLPIPSWithDiscr, AutoencoderPerceptual, LatentLPIPS
     from neurosis_tpu.models.unet import UNetModel
-    from neurosis_tpu.models.vae import Decoder, Encoder
+    from neurosis_tpu.models.vae import Decoder, Encoder, Model
     from neurosis_tpu.modules.encoders import (
         ConcatTimestepEmbedderND,
         FrozenCLIPEmbedder,
@@ -106,6 +106,7 @@ def _populate():
         "neurosis.modules.diffusion.openaimodel.UNetModel": UNetModel,
         "neurosis.modules.diffusion.model.Encoder": Encoder,
         "neurosis.modules.diffusion.model.Decoder": Decoder,
+        "neurosis.modules.diffusion.model.Model": Model,
         # diffusion math
         "neurosis.modules.diffusion.Denoiser": Denoiser,
         "neurosis.modules.diffusion.DiscreteDenoiser": DiscreteDenoiser,

@@ -86,9 +86,17 @@ def load_crop_image_file(path, resolution, resampling=None, rng=None):
 
 def image_to_array(image) -> np.ndarray:
     """PIL RGB → float32 NHWC in [-1, 1] (base.py default transforms parity:
-    ToImage → scale to [0,1] → Normalize(.5,.5))."""
-    arr = np.asarray(image, dtype=np.float32) / 255.0
-    return arr * 2.0 - 1.0
+    ToImage → scale to [0,1] → Normalize(.5,.5)).
+
+    Dispatches to the native C++ core (neurosis_tpu.native, fused u8→f32
+    normalize, OpenMP) when built; numpy otherwise (both use x*(2/255)-1,
+    which agrees with /255*2-1 to 1 ulp over all uint8 values)."""
+    arr = np.asarray(image)
+    if arr.dtype == np.uint8:
+        from neurosis_tpu import native
+
+        return native.u8_to_f32_norm(arr)
+    return np.asarray(arr, dtype=np.float32) / 255.0 * 2.0 - 1.0
 
 
 def clean_word(word_sep: str, word: Union[str, bytes]) -> str:

@@ -157,7 +157,11 @@ def _unit_normalize(feat: jax.Array, eps: float = 1e-10) -> jax.Array:
 
 
 def find_lpips_weights(pnet_type: str = "alex") -> Optional[Path]:
-    """Locate `{alex,vgg}_lpips_v0.1.safetensors` (lin heads)."""
+    """Locate `{alex,vgg}_lpips_v0.1.safetensors` (lin heads).
+
+    Precedence: NEUROSIS_DATA_DIR > packaged asset (neurosis_tpu/assets/lpips,
+    shipped in the wheel like the reference's src/neurosis/data/lpips).
+    """
     candidates = []
     env = os.environ.get("NEUROSIS_DATA_DIR")
     if env:
@@ -166,7 +170,9 @@ def find_lpips_weights(pnet_type: str = "alex") -> Optional[Path]:
     for c in candidates:
         if c.exists():
             return c
-    return None
+    from neurosis_tpu.assets import asset_path
+
+    return asset_path("lpips", f"{pnet_type}_lpips_v0.1.safetensors")
 
 
 def load_lpips_params(params_template, pnet_type: str = "alex", trunk_state: Optional[dict] = None,

@@ -26,20 +26,35 @@ Dtype = jnp.dtype
 
 
 class ResnetBlock(nn.Module):
-    """norm→silu→conv ×2 with 1x1/3x3 shortcut (model.py:85-141); temb unused (VAE temb_ch=0)."""
+    """norm→silu→conv ×2 with 1x1/3x3 shortcut (model.py:85-141).
+
+    `temb_channels > 0` enables the timestep-embedding injection used by the
+    pixel-space `Model` (model.py:122-124: h += temb_proj(silu(temb))); the VAE
+    Encoder/Decoder instantiate it with temb_channels=0 as in the reference.
+    """
 
     in_channels: int
     out_channels: Optional[int] = None
     conv_shortcut: bool = False
     dropout: float = 0.0
+    temb_channels: int = 0
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        temb: Optional[jax.Array] = None,
+    ) -> jax.Array:
         out_ch = self.out_channels or self.in_channels
         h = GroupNorm32(32, epsilon=1e-6, name="norm1")(x)
         h = nn.silu(h)
         h = Conv2d(out_ch, 3, dtype=self.dtype, name="conv1")(h)
+        if self.temb_channels > 0:
+            assert temb is not None, "ResnetBlock with temb_channels>0 needs temb"
+            e = nn.Dense(out_ch, dtype=self.dtype, param_dtype=jnp.float32, name="temb_proj")(nn.silu(temb))
+            h = h + e[:, None, None, :].astype(h.dtype)
         h = GroupNorm32(32, epsilon=1e-6, name="norm2")(h)
         h = nn.silu(h)
         if self.dropout > 0.0:
@@ -223,3 +238,124 @@ class Decoder(nn.Module):
         if self.tanh_out:
             h = jnp.tanh(h)
         return h
+
+
+def ddpm_timestep_embedding(timesteps: jax.Array, dim: int) -> jax.Array:
+    """DDPM/fairseq sinusoid used by the pixel-space Model (model.py:30-52):
+    frequencies exp(-log(1e4)·i/(half-1)), SIN-first, zero-pad if odd — note
+    this differs from the ADM UNet's embedding (cos-first, /half)."""
+    import math as _math
+
+    half = dim // 2
+    # scalar-first multiply matches the reference's fp32 rounding exactly
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -(_math.log(10000) / (half - 1)))
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class Model(nn.Module):
+    """Pixel-space DDPM UNet (model.py:286-452): the VAE Encoder/Decoder
+    topology with skip connections and optional timestep conditioning —
+    used for pixel diffusion rather than latent diffusion. `context`, when
+    given, is concatenated along channels (model.py:406-408).
+
+    Torch dotted names match the reference for 1:1 weight import
+    (temb.dense.0, down.N.block.M, mid.block_1, up.N.upsample, ...).
+    """
+
+    ch: int
+    out_ch: int
+    ch_mult: Sequence[int]
+    num_res_blocks: int
+    attn_resolutions: Sequence[int]
+    in_channels: int = 3
+    resolution: int = 256
+    use_timestep: bool = True
+    dropout: float = 0.0
+    resamp_with_conv: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        t: Optional[jax.Array] = None,
+        context: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        if context is not None:
+            x = jnp.concatenate([x, context], axis=-1)
+
+        temb_ch = self.ch * 4
+        if self.use_timestep:
+            assert t is not None, "Model(use_timestep=True) requires t"
+            temb = ddpm_timestep_embedding(t, self.ch)
+            temb = nn.Dense(temb_ch, dtype=self.dtype, param_dtype=jnp.float32, name="temb.dense.0")(temb)
+            temb = nn.Dense(temb_ch, dtype=self.dtype, param_dtype=jnp.float32, name="temb.dense.1")(
+                nn.silu(temb)
+            )
+        else:
+            temb = None
+
+        num_res = len(self.ch_mult)
+        in_ch_mult = (1,) + tuple(self.ch_mult)
+        curr_res = self.resolution
+        tc = temb_ch if self.use_timestep else 0
+
+        hs = [Conv2d(self.ch, 3, dtype=self.dtype, name="conv_in")(x)]
+        block_in = self.ch
+        for i_level in range(num_res):
+            block_in = self.ch * in_ch_mult[i_level]
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks):
+                h = ResnetBlock(
+                    in_channels=block_in,
+                    out_channels=block_out,
+                    dropout=self.dropout,
+                    temb_channels=tc,
+                    dtype=self.dtype,
+                    name=f"down.{i_level}.block.{i_block}",
+                )(hs[-1], deterministic, temb)
+                block_in = block_out
+                if curr_res in self.attn_resolutions:
+                    h = VAEAttnBlock(block_in, dtype=self.dtype, name=f"down.{i_level}.attn.{i_block}")(h)
+                hs.append(h)
+            if i_level != num_res - 1:
+                hs.append(
+                    Downsample(
+                        block_in, self.resamp_with_conv, dtype=self.dtype, name=f"down.{i_level}.downsample"
+                    )(hs[-1])
+                )
+                curr_res //= 2
+
+        h = ResnetBlock(block_in, block_in, dropout=self.dropout, temb_channels=tc, dtype=self.dtype, name="mid.block_1")(hs[-1], deterministic, temb)
+        h = VAEAttnBlock(block_in, dtype=self.dtype, name="mid.attn_1")(h)
+        h = ResnetBlock(block_in, block_in, dropout=self.dropout, temb_channels=tc, dtype=self.dtype, name="mid.block_2")(h, deterministic, temb)
+
+        for i_level in reversed(range(num_res)):
+            block_out = self.ch * self.ch_mult[i_level]
+            skip_in = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks + 1):
+                if i_block == self.num_res_blocks:
+                    skip_in = self.ch * in_ch_mult[i_level]
+                h = ResnetBlock(
+                    in_channels=block_in + skip_in,
+                    out_channels=block_out,
+                    dropout=self.dropout,
+                    temb_channels=tc,
+                    dtype=self.dtype,
+                    name=f"up.{i_level}.block.{i_block}",
+                )(jnp.concatenate([h, hs.pop()], axis=-1), deterministic, temb)
+                block_in = block_out
+                if curr_res in self.attn_resolutions:
+                    h = VAEAttnBlock(block_in, dtype=self.dtype, name=f"up.{i_level}.attn.{i_block}")(h)
+            if i_level != 0:
+                h = Upsample(block_in, self.resamp_with_conv, dtype=self.dtype, name=f"up.{i_level}.upsample")(h)
+                curr_res *= 2
+
+        h = GroupNorm32(32, epsilon=1e-6, name="norm_out")(h)
+        h = nn.silu(h)
+        return Conv2d(self.out_ch, 3, dtype=self.dtype, name="conv_out")(h)

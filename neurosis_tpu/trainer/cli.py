@@ -34,12 +34,14 @@ def main(argv=None) -> int:
 
     fit = sub.add_parser("fit", help="train from a YAML config")
     val = sub.add_parser("validate", help="run loss-only evaluation from a YAML config")
+    tst = sub.add_parser("test", help="run loss-only evaluation on the test split (`data_test:` node, else `data:`)")
     pred = sub.add_parser("predict", help="sample images from prompts with a trained model")
-    for p in (fit, val, pred):
+    for p in (fit, val, tst, pred):
         p.add_argument("-c", "--config", required=True, type=Path)
     fit.add_argument("--max-steps", type=int, default=None)
     fit.add_argument("--fast-dev-run", action="store_true", default=None)
     val.add_argument("--max-batches", type=int, default=None)
+    tst.add_argument("--max-batches", type=int, default=None)
     pred.add_argument("--prompt", action="append", default=None, help="repeatable prompt(s)")
     pred.add_argument("--steps", type=int, default=None, help="sampler steps override")
     pred.add_argument("--out", type=Path, default=None, help="output directory (default <root>/predictions)")
@@ -50,6 +52,8 @@ def main(argv=None) -> int:
         return run_fit(args)
     if args.command == "validate":
         return run_validate(args)
+    if args.command == "test":
+        return run_test(args)
     if args.command == "predict":
         return run_predict(args)
     return 1
@@ -209,6 +213,25 @@ def run_validate(args) -> int:
     metrics = trainer.validate(_batch_factory(cfg, dataset), max_batches=args.max_batches)
     logger.info("validate: " + ", ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
     print(__import__("json").dumps({"val/" + k: v for k, v in metrics.items()}))
+    return 0
+
+
+def run_test(args) -> int:
+    """LightningCLI `test` analog: loss-only eval against the held-out split.
+
+    Uses the `data_test:` config node when present (separate test dataset),
+    falling back to `data:`; metrics are reported under `test/`.
+    """
+    from neurosis_tpu.config import instantiate
+
+    cfg, engine, dataset, trainer = _build(args)
+    if cfg.get("data_test"):
+        dataset = instantiate(cfg["data_test"])
+    if dataset is None:
+        raise ValueError("test requires a `data_test:` or `data:` node in the config")
+    metrics = trainer.validate(_batch_factory(cfg, dataset), max_batches=args.max_batches)
+    logger.info("test: " + ", ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+    print(__import__("json").dumps({"test/" + k: v for k, v in metrics.items()}))
     return 0
 
 

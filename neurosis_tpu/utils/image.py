@@ -40,8 +40,18 @@ def array_to_pil(x: np.ndarray):
 
 
 def _default_font(size: int = 12):
+    """Packaged NotoSansMono (parity: reference ships the same font under
+    src/neurosis/data/fonts), falling back to system DejaVu / PIL default."""
     from PIL import ImageFont
 
+    from neurosis_tpu.assets import asset_path
+
+    packaged = asset_path("fonts", "NotoSansMono.ttf")
+    if packaged is not None:
+        try:
+            return ImageFont.truetype(str(packaged), size)
+        except OSError:
+            pass
     try:
         return ImageFont.truetype("DejaVuSans.ttf", size)
     except OSError:

@@ -66,6 +66,20 @@ def test_cli_validate_smoke(smoke_data, monkeypatch, capsys):
     assert "val/loss" in metrics and np.isfinite(metrics["val/loss"])
 
 
+def test_cli_test_smoke(smoke_data, monkeypatch, capsys):
+    """`test` subcommand (LightningCLI surface): eval on data_test/data split."""
+    from neurosis_tpu.trainer.cli import main
+
+    monkeypatch.setenv("NEUROSIS_SMOKE_DATA", str(smoke_data))
+    rc = main(["test", "-c", "configs/smoke/sd15-tiny.yaml", "--max-batches", "2"])
+    assert rc == 0
+    import json
+
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics = json.loads(out)
+    assert "test/loss" in metrics and np.isfinite(metrics["test/loss"])
+
+
 def test_cli_predict_smoke(smoke_data, monkeypatch, tmp_path):
     from neurosis_tpu.trainer.cli import main
 

@@ -183,10 +183,17 @@ def main() -> None:
     assert np.isfinite(float(jnp.sum(losses))), "non-finite loss in bench"
 
     print("bench: timing...", file=sys.stderr, flush=True)
+    profile_dir = os.environ.get("NEUROSIS_BENCH_PROFILE")
+    if profile_dir:
+        # on-chip trace of the identical compiled program (cache hit)
+        jax.profiler.start_trace(profile_dir)
     start = time.perf_counter()
     params, opt_state, losses = run_n(params, opt_state, jax.random.PRNGKey(2))
     _ = float(jnp.sum(losses))  # host transfer = true completion barrier
     dt = (time.perf_counter() - start) / iters
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"bench: profile written to {profile_dir}", file=sys.stderr, flush=True)
 
     steps_per_sec = 1.0 / dt
     peak = guess_peak(jax.devices()[0])

@@ -69,9 +69,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_scr, l_scr, *, s
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
 
-    qt = q_ref[0, 0].astype(jnp.float32)  # (D, BQ)
-    kt = k_ref[0, 0].astype(jnp.float32)  # (D, BK)
-    vt = v_ref[0, 0].astype(jnp.float32)  # (D, BK)
+    # feed bf16 straight to the MXU (fp32 accumulate via preferred_element_type);
+    # an explicit astype(f32) here forces fp32-rate matmuls — measured 2.9x
+    # slower at 4096 tokens (25.8 vs 75.9 TF/s fwd+bwd)
+    qt = q_ref[0, 0]  # (D, BQ)
+    kt = k_ref[0, 0]  # (D, BK)
+    vt = v_ref[0, 0]  # (D, BK)
 
     # st[k, q] — contract D over sublanes; BQ at full lane width
     st = _dg(kt, qt, ((0,), (0,))) * scale  # (BK, BQ)
@@ -86,7 +89,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_scr, l_scr, *, s
 
     l_new = alpha * l_scr[0:1, :] + jnp.sum(pt, axis=0, keepdims=True)
     # o^T (D, BQ) += v^T (D, BK) @ p^T (BK, BQ) — contract BK
-    acc_ref[:] = acc_ref[:] * alpha + _dg(vt, pt, ((1,), (0,)))
+    acc_ref[:] = acc_ref[:] * alpha + _dg(vt, pt.astype(vt.dtype), ((1,), (0,)))
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 

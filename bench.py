@@ -106,6 +106,12 @@ def main() -> None:
     jax.block_until_ready(params)
 
     opt = optax.adafactor(1e-5)
+    if os.environ.get("NEUROSIS_BENCH_STACKED", "1") not in ("0", "false"):
+        # batch per-leaf optimizer kernels (~7000 tiny scalar reductions ->
+        # ~30 vmapped group updates; saves ~100ms/step, see optimizers/stacked.py)
+        from neurosis_tpu.optimizers.stacked import stacked
+
+        opt = stacked(opt)
     opt_state = jax.jit(opt.init)(params)
 
     def loss_fn(p, x, t, ctx, y, noise):

@@ -196,7 +196,9 @@ class DiffusionEngine:
             step=state.step + 1, params=params, opt_state=opt_state, ema=ema, rng=rng
         )
         metrics = dict(metrics)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        from neurosis_tpu.optimizers.stacked import stacked_global_norm
+
+        metrics["grad_norm"] = stacked_global_norm(grads)
         return new_state, metrics
 
     def eval_step(self, state: TrainState, frozen: dict, batch: dict):

@@ -50,6 +50,17 @@ class GroupNorm32(nn.Module):
 
     The reference uses nn.GroupNorm(32, ch) with eps=1e-5 (UNet) or 1e-6 (VAE /
     SpatialTransformer input norm).
+
+    TPU-first implementation note: flax's nn.GroupNorm reshapes NHWC to
+    [..., G, C/G], splitting the 128-lane channel dim (C/G = 10/20/40 for SD
+    UNets) — its stat reductions ran at ~half HBM bandwidth and cost ~93 ms of
+    a 474 ms SDXL train step (on-chip profile). Instead we reduce per-CHANNEL
+    moments over the major spatial dims (layout-friendly, one fused
+    multi-output pass over x) and combine channels into group stats on the
+    tiny [B, C] result: group mean = mean of channel means, group var =
+    mean of channel E[x²] − (group mean)² — exact for equal-size groups.
+    Param names/shapes match nn.GroupNorm ('scale'/'bias', [C]) for
+    checkpoint compatibility.
     """
 
     num_groups: int = 32
@@ -59,13 +70,27 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
-        out = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x)
+        c = x.shape[-1]
+        g = self.num_groups
+        assert c % g == 0, f"channels {c} not divisible by groups {g}"
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+
+        x32 = x.astype(jnp.float32)
+        red_axes = tuple(range(1, x.ndim - 1))  # spatial dims
+        m_c = jnp.mean(x32, axis=red_axes)  # [B, C]
+        m2_c = jnp.mean(jnp.square(x32), axis=red_axes)  # [B, C]
+        b = x.shape[0]
+        m_g = jnp.mean(m_c.reshape(b, g, c // g), axis=-1)  # [B, G]
+        m2_g = jnp.mean(m2_c.reshape(b, g, c // g), axis=-1)
+        var_g = jnp.maximum(m2_g - jnp.square(m_g), 0.0)
+        rstd_g = jax.lax.rsqrt(var_g + self.epsilon)  # [B, G]
+
+        # broadcast group stats back to channels: [B, G] -> [B, C]
+        mean = jnp.repeat(m_g, c // g, axis=-1)
+        rstd = jnp.repeat(rstd_g, c // g, axis=-1)
+        shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        out = (x32 - mean.reshape(shape)) * (rstd.reshape(shape) * scale) + bias
         return out.astype(orig_dtype)
 
 

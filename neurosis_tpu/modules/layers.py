@@ -77,19 +77,31 @@ class GroupNorm32(nn.Module):
         bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
 
         x32 = x.astype(jnp.float32)
-        red_axes = tuple(range(1, x.ndim - 1))  # spatial dims
-        m_c = jnp.mean(x32, axis=red_axes)  # [B, C]
-        m2_c = jnp.mean(jnp.square(x32), axis=red_axes)  # [B, C]
         b = x.shape[0]
-        m_g = jnp.mean(m_c.reshape(b, g, c // g), axis=-1)  # [B, G]
-        m2_g = jnp.mean(m2_c.reshape(b, g, c // g), axis=-1)
+        gs = c // g
+
+        # one-pass E[x^2]-E[x]^2 cancels catastrophically when |mean| >> std;
+        # shifting by a per-(B, G) pivot (any single sample — the result is
+        # algebraically invariant to it, hence stop_gradient is exact) keeps
+        # |E[x-s]| ~ O(std) so the subtraction loses no precision, at zero
+        # extra HBM traffic (the subtract fuses into the moment pass).
+        pivot_g = jax.lax.stop_gradient(x32[(slice(None),) + (0,) * (x.ndim - 2)])  # [B, C]
+        pivot_g = pivot_g.reshape(b, g, gs)[:, :, 0]  # [B, G]
+        pivot_c = jnp.repeat(pivot_g, gs, axis=-1)  # [B, C]
+        shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        xs = x32 - pivot_c.reshape(shape)
+
+        red_axes = tuple(range(1, x.ndim - 1))  # spatial dims
+        m_c = jnp.mean(xs, axis=red_axes)  # [B, C]
+        m2_c = jnp.mean(jnp.square(xs), axis=red_axes)  # [B, C]
+        m_g = jnp.mean(m_c.reshape(b, g, gs), axis=-1)  # [B, G]
+        m2_g = jnp.mean(m2_c.reshape(b, g, gs), axis=-1)
         var_g = jnp.maximum(m2_g - jnp.square(m_g), 0.0)
         rstd_g = jax.lax.rsqrt(var_g + self.epsilon)  # [B, G]
 
         # broadcast group stats back to channels: [B, G] -> [B, C]
-        mean = jnp.repeat(m_g, c // g, axis=-1)
-        rstd = jnp.repeat(rstd_g, c // g, axis=-1)
-        shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        mean = jnp.repeat(m_g + pivot_g, gs, axis=-1)
+        rstd = jnp.repeat(rstd_g, gs, axis=-1)
         out = (x32 - mean.reshape(shape)) * (rstd.reshape(shape) * scale) + bias
         return out.astype(orig_dtype)
 

@@ -50,17 +50,6 @@ class GroupNorm32(nn.Module):
 
     The reference uses nn.GroupNorm(32, ch) with eps=1e-5 (UNet) or 1e-6 (VAE /
     SpatialTransformer input norm).
-
-    TPU-first implementation note: flax's nn.GroupNorm reshapes NHWC to
-    [..., G, C/G], splitting the 128-lane channel dim (C/G = 10/20/40 for SD
-    UNets) — its stat reductions ran at ~half HBM bandwidth and cost ~93 ms of
-    a 474 ms SDXL train step (on-chip profile). Instead we reduce per-CHANNEL
-    moments over the major spatial dims (layout-friendly, one fused
-    multi-output pass over x) and combine channels into group stats on the
-    tiny [B, C] result: group mean = mean of channel means, group var =
-    mean of channel E[x²] − (group mean)² — exact for equal-size groups.
-    Param names/shapes match nn.GroupNorm ('scale'/'bias', [C]) for
-    checkpoint compatibility.
     """
 
     num_groups: int = 32
@@ -70,39 +59,19 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         orig_dtype = x.dtype
-        c = x.shape[-1]
-        g = self.num_groups
-        assert c % g == 0, f"channels {c} not divisible by groups {g}"
-        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
-
-        x32 = x.astype(jnp.float32)
-        b = x.shape[0]
-        gs = c // g
-
-        # one-pass E[x^2]-E[x]^2 cancels catastrophically when |mean| >> std;
-        # shifting by a per-(B, G) pivot (any single sample — the result is
-        # algebraically invariant to it, hence stop_gradient is exact) keeps
-        # |E[x-s]| ~ O(std) so the subtraction loses no precision, at zero
-        # extra HBM traffic (the subtract fuses into the moment pass).
-        pivot_g = jax.lax.stop_gradient(x32[(slice(None),) + (0,) * (x.ndim - 2)])  # [B, C]
-        pivot_g = pivot_g.reshape(b, g, gs)[:, :, 0]  # [B, G]
-        pivot_c = jnp.repeat(pivot_g, gs, axis=-1)  # [B, C]
-        shape = (b,) + (1,) * (x.ndim - 2) + (c,)
-        xs = x32 - pivot_c.reshape(shape)
-
-        red_axes = tuple(range(1, x.ndim - 1))  # spatial dims
-        m_c = jnp.mean(xs, axis=red_axes)  # [B, C]
-        m2_c = jnp.mean(jnp.square(xs), axis=red_axes)  # [B, C]
-        m_g = jnp.mean(m_c.reshape(b, g, gs), axis=-1)  # [B, G]
-        m2_g = jnp.mean(m2_c.reshape(b, g, gs), axis=-1)
-        var_g = jnp.maximum(m2_g - jnp.square(m_g), 0.0)
-        rstd_g = jax.lax.rsqrt(var_g + self.epsilon)  # [B, G]
-
-        # broadcast group stats back to channels: [B, G] -> [B, C]
-        mean = jnp.repeat(m_g + pivot_g, gs, axis=-1)
-        rstd = jnp.repeat(rstd_g, gs, axis=-1)
-        out = (x32 - mean.reshape(shape)) * (rstd.reshape(shape) * scale) + bias
+        x = x.astype(jnp.float32)
+        # NOTE (measured, round 2): a layout-friendly channel-moment rewrite
+        # (per-channel E[x]/E[x^2] over major dims + tiny group combine) was
+        # tried to dodge flax's [..., G, C/G] lane-splitting reshape — it
+        # benched 3% SLOWER end-to-end (2.011 vs 2.072 steps/s on the SDXL
+        # step): GN stats are bandwidth-bound real work either way, and the
+        # extra repeat/reshape ops broke neighbouring fusions. Keep flax's.
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x)
         return out.astype(orig_dtype)
 
 

@@ -61,7 +61,15 @@ def main() -> None:
     batch = int(os.environ.get("NEUROSIS_BENCH_BATCH", batch))
     remat_env = os.environ.get("NEUROSIS_BENCH_REMAT", "1")
     use_remat = remat_env not in ("0", "false")
-    remat_policy = "dots" if remat_env == "dots" else "full"
+    # policy pass-through: dots | dots_all | names | dots_names, or a
+    # comma-separated per-level triple (e.g. "names,names,full")
+    _policies = ("dots", "dots_all", "names", "dots_names")
+    if "," in remat_env:
+        remat_policy = tuple(p if p in _policies + ("none",) else "full" for p in remat_env.split(","))
+    elif remat_env in _policies:
+        remat_policy = remat_env
+    else:
+        remat_policy = "full"
 
     model = UNetModel(
         in_channels=4,

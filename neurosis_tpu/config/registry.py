@@ -205,12 +205,17 @@ def resolve_class_path(path: str) -> Any:
         _populate()
     if path in REGISTRY:
         return REGISTRY[path]
-    # torch.optim/bitsandbytes class paths → reasonable optax equivalents
+    # bitsandbytes AdamW8bit → our TPU-native 8-bit AdamW (blockwise-
+    # quantized moments, optimizers/adamw8bit.py)
+    if path == "bitsandbytes.optim.AdamW8bit":
+        from neurosis_tpu.optimizers.adamw8bit import adamw8bit
+
+        return adamw8bit
+    # torch.optim class paths → optax equivalents
     _TORCH_OPT = {
         "torch.optim.AdamW": "adamw",
         "torch.optim.Adam": "adam",
         "torch.optim.SGD": "sgd",
-        "bitsandbytes.optim.AdamW8bit": "adamw",
     }
     if path in _TORCH_OPT:
         import optax

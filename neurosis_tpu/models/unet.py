@@ -184,7 +184,8 @@ class UNetModel(nn.Module):
     use_linear_in_transformer: bool = False
     adm_in_channels: Optional[int] = None
     context_axis: Optional[str] = None  # ring self-attention mesh axis (seq parallel)
-    # transformer-block remat: full | dots | dots_all | names | none — one
+    # transformer-block remat: full | dots | dots_all | names | dots_names |
+    # none — one
     # global string, or a per-level sequence (e.g. ["none", "none", "full"]
     # saves level-0/1 activations and remats only the deep level-2 stacks)
     remat_policy: Union[str, Sequence[str]] = "full"

@@ -95,10 +95,10 @@ class CrossAttention(nn.Module):
         # ring attention only for self-attention (q and kv share the sharded seq)
         axis = self.context_axis if context is None else None
         out = dot_product_attention(q, k, v, context_axis=axis)
+        # the backends name their outputs/residuals ("attn_out"/"attn_lse",
+        # see ops/attention.py + ops/flash_attention.py) so the "names" remat
+        # policy can skip re-running the attention kernel in the bwd pass
         out = out.transpose(0, 2, 1, 3).reshape(b, s, inner)
-        # named for the "names" remat policy: saving the attention output
-        # skips re-running the flash kernel in the bwd remat pass
-        out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
 
         out = Dense(self.query_dim, dtype=self.dtype, name="to_out.0")(out)
         if self.dropout > 0.0:
@@ -189,8 +189,9 @@ class SpatialTransformer(nn.Module):
     #   dots     — save dot outputs with no batch dims (≈full here: every
     #              transformer matmul has a batch dim)
     #   dots_all — save ALL matmul outputs, recompute elementwise only
-    #   names    — save the flash-attention outputs (checkpoint_name), skip
-    #              re-running the attention kernel in bwd
+    #   names    — save the attention outputs + flash lse (checkpoint_name),
+    #              skip re-running the attention kernel in bwd
+    #   dots_names — dots_all ∪ names (recompute elementwise only)
     #   none     — no remat (max memory)
     remat_policy: str = "full"
     context_axis: Optional[str] = None
@@ -220,12 +221,19 @@ class SpatialTransformer(nn.Module):
             import jax.ad_checkpoint as adc
 
             policy = None  # "full": recompute everything
+            names_policy = adc.checkpoint_policies.save_only_these_names("attn_out", "attn_lse")
             if self.remat_policy == "dots":
                 policy = adc.checkpoint_policies.dots_with_no_batch_dims_saveable
             elif self.remat_policy == "dots_all":
                 policy = adc.checkpoint_policies.dots_saveable
             elif self.remat_policy == "names":
-                policy = adc.checkpoint_policies.save_only_these_names("attn_out")
+                policy = names_policy
+            elif self.remat_policy == "dots_names":
+                # save every matmul output AND the attention residuals: the
+                # bwd remat recomputes only elementwise ops (norms/gelu)
+                policy = adc.checkpoint_policies.save_from_both_policies(
+                    adc.checkpoint_policies.dots_saveable, names_policy
+                )
             block_cls = nn.remat(BasicTransformerBlock, static_argnums=(2,), policy=policy)
         for d in range(self.depth):
             x = block_cls(

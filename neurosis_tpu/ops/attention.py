@@ -20,6 +20,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 # Sequence-length threshold above which the Pallas kernel wins over XLA's
@@ -40,7 +41,10 @@ def _xla_attention(
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhst,bhtd->bhsd", weights, v)
+    out = jnp.einsum("bhst,bhtd->bhsd", weights, v)
+    # named so the "names" remat policy saves the attention output (the
+    # Pallas path names its own residuals inside the custom_vjp fwd)
+    return jax.ad_checkpoint.checkpoint_name(out, "attn_out")
 
 
 def _use_pallas() -> bool:

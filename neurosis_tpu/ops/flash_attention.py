@@ -24,6 +24,7 @@ import functools
 import math
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -272,6 +273,13 @@ def _flash(qt, kt, vt, scale, block_q, block_k, kv_len):
 
 def _flash_fwd(qt, kt, vt, scale, block_q, block_k, kv_len):
     o, lse = _fwd(qt, kt, vt, scale=scale, block_q=block_q, block_k=block_k, kv_len=kv_len)
+    # Name BOTH bwd residuals so the "names" remat policy
+    # (save_only_these_names) can keep them and skip re-running this fwd
+    # kernel in the bwd remat pass. Naming only the output is not enough:
+    # an unsaved lse forces the whole fwd kernel to be rematerialized just
+    # to regenerate it (verified at jaxpr level).
+    o = jax.ad_checkpoint.checkpoint_name(o, "attn_out")
+    lse = jax.ad_checkpoint.checkpoint_name(lse, "attn_lse")
     return o, (qt, kt, vt, o, lse)
 
 

@@ -29,6 +29,13 @@ def _hooks():
     return hooks
 
 
+def _mongo_cls(name: str):
+    # mongo datasets import pymongo/s3fs lazily — the module itself is safe
+    import neurosis_tpu.data.mongo as mongo
+
+    return getattr(mongo, name)
+
+
 def _populate():
     """Lazy mapping of reference class paths → our components."""
     from neurosis_tpu.data.aspect import AspectBucketList, SDXLBucketList, WDXLBucketList, WDXLBucketList2
@@ -179,6 +186,19 @@ def _populate():
         "neurosis.dataset.imagefolder.FolderSquareModule": FolderSquareDataset,
         "neurosis.dataset.imagefolder.FolderVAEDataset": FolderVAEDataset,
         "neurosis.dataset.imagefolder.FolderVAEModule": FolderVAEDataset,
+        "neurosis.dataset.mongo.MongoAspectDataset": _mongo_cls("MongoAspectDataset"),
+        "neurosis.dataset.mongo.MongoAspectModule": _mongo_cls("MongoAspectDataset"),
+        "neurosis.dataset.mongo.MongoSquareDataset": _mongo_cls("MongoSquareDataset"),
+        "neurosis.dataset.mongo.MongoSquareModule": _mongo_cls("MongoSquareDataset"),
+        "neurosis.dataset.mongo.MongoVAEDataset": _mongo_cls("MongoVAEDataset"),
+        "neurosis.dataset.mongo.MongoVAEModule": _mongo_cls("MongoVAEDataset"),
+        # fully-qualified submodule spellings (mongo/{aspect,nobucket,nocaption}.py)
+        "neurosis.dataset.mongo.aspect.MongoAspectDataset": _mongo_cls("MongoAspectDataset"),
+        "neurosis.dataset.mongo.aspect.MongoAspectModule": _mongo_cls("MongoAspectDataset"),
+        "neurosis.dataset.mongo.nobucket.MongoSquareDataset": _mongo_cls("MongoSquareDataset"),
+        "neurosis.dataset.mongo.nobucket.MongoSquareModule": _mongo_cls("MongoSquareDataset"),
+        "neurosis.dataset.mongo.nocaption.MongoVAEDataset": _mongo_cls("MongoVAEDataset"),
+        "neurosis.dataset.mongo.nocaption.MongoVAEModule": _mongo_cls("MongoVAEDataset"),
         # optimizers / schedulers
         # loss hooks (config contract: configs/hook/loss_scale.example.yml)
         "neurosis.dataset.processing.TagFrequencyHook": _hooks().TagFrequencyHook,

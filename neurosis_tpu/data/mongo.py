@@ -286,6 +286,77 @@ class MongoAspectDataset(BaseMongoDataset):
         return it()
 
 
+class MongoSquareDataset(BaseMongoDataset):
+    """Fixed-square mongo dataset (mongo/nobucket.py:22-143): cover-resize +
+    random-crop every sample to `resolution`, captions + SDXL micro-conds."""
+
+    def __init__(
+        self,
+        resolution: int = 256,
+        batch_size: int = 1,
+        image_key: str = "image",
+        caption_key: str = "caption",
+        clamp_orig: bool = True,
+        seed: int = 0,
+        **kwargs,
+    ):
+        self.resolution = (resolution, resolution) if isinstance(resolution, int) else tuple(resolution)
+        self.batch_size = batch_size
+        self.image_key = image_key
+        self.caption_key = caption_key
+        self.clamp_orig = clamp_orig
+        self.rng = np.random.default_rng(seed)
+        super().__init__(**kwargs)
+
+    def __getitem__(self, index: int) -> dict:
+        from .utils import image_to_array, pil_crop_square
+
+        row = self.samples.iloc[index]
+        image = self._load_image(row[self.image_url_key])
+        resolution = image.size
+        image, crop = pil_crop_square(image, self.resolution, rng=self.rng)
+        osize = (
+            (min(resolution[0], self.resolution[0]), min(resolution[1], self.resolution[1]))
+            if self.clamp_orig
+            else tuple(resolution)
+        )
+        sample = {
+            self.image_key: image_to_array(image),
+            "original_size_as_tuple": osize,
+            "crop_coords_top_left": crop,
+            "target_size_as_tuple": self.resolution,
+        }
+        if self.caption_key is not None:
+            sample[self.caption_key] = str(row[self.caption_key])
+        return sample
+
+    def get_batch(self, indices: Sequence[int]) -> dict:
+        from .utils import collate_dict_stack
+
+        return collate_dict_stack([self[i] for i in indices])
+
+    def get_batch_iterator(self) -> Generator[list[int], None, None]:
+        """No buckets: shuffled fixed-size chunks (nobucket.py contract)."""
+        order = np.arange(len(self.samples), dtype=np.int64)
+        self.rng.shuffle(order)
+        n_full = len(order) // self.batch_size
+
+        def it():
+            for b in range(n_full):
+                yield [int(i) for i in order[b * self.batch_size : (b + 1) * self.batch_size]]
+
+        return it()
+
+
+class MongoVAEDataset(MongoSquareDataset):
+    """Square mongo dataset without captions (mongo/nocaption.py:21-104) —
+    VAE training needs images only."""
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("caption_key", None)
+        super().__init__(**kwargs)
+
+
 class S3ImageLoader:
     """Standalone parallel S3 image fetcher (dataset/loaders.py:22-148)."""
 

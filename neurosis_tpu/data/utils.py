@@ -127,6 +127,42 @@ def clean_caption(
     return tag_sep.join(tags).strip()
 
 
+def pil_crop_random(image, size, resampling=None, rng: Optional[np.random.Generator] = None):
+    """Random crop at (roughly) native resolution (dataset/utils.py:61-87):
+    upscale if smaller than target, downscale to ≤2x target if much larger,
+    then random-crop to exactly `size`; returns (image, (top, left))."""
+    from PIL import Image, ImageOps
+
+    resampling = resampling or Image.Resampling.BICUBIC
+    rng = rng or np.random.default_rng()
+    if isinstance(size, int):
+        size = (size, size)
+    if image.size == size:
+        return image, (0, 0)
+    if image.size[0] < size[0] or image.size[1] < size[1]:
+        image = ImageOps.cover(image, size, method=Image.Resampling.LANCZOS)
+    if image.size[0] > size[0] * 2 and image.size[1] > size[1] * 2:
+        image = ImageOps.cover(image, (size[0] * 2, size[1] * 2), method=resampling)
+    delta_w, delta_h = image.size[0] - size[0], image.size[1] - size[1]
+    top = int(rng.integers(delta_h + 1))
+    left = int(rng.integers(delta_w + 1))
+    image = image.crop((left, top, left + size[0], top + size[1]))
+    return image, (top, left)
+
+
+def collate_dict_lists(samples: Sequence[dict]) -> dict:
+    """list-of-dicts → dict-of-lists, stacking array-valued keys
+    (dataset/utils.py:150-164 contract, numpy edition)."""
+    out: dict = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals, axis=0)
+        else:
+            out[key] = vals
+    return out
+
+
 def collate_dict_stack(samples: Sequence[dict]) -> dict:
     """list-of-dicts → dict of stacked numpy arrays / string lists
     (dataset/utils.py:150-191 contract, numpy edition)."""

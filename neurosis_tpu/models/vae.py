@@ -98,6 +98,44 @@ class VAEAttnBlock(nn.Module):
         return x + out
 
 
+class LinAttnBlock(nn.Module):
+    """Linear (kernelized) spatial attention (attention.py:77-94 LinearAttention
+    wrapped by model.py LinAttnBlock): softmax over *tokens* of k, then the
+    low-rank context kᵀv is applied to q — O(S·d²) instead of O(S²·d)."""
+
+    in_channels: int
+    heads: int = 4
+    dim_head: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, hh, ww, c = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = Conv2d(hidden * 3, 1, padding=0, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        qkv = qkv.reshape(b, hh * ww, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, S, H, D]
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(q.dtype)
+        context = jnp.einsum("bshd,bshe->bhde", k, v)
+        out = jnp.einsum("bhde,bshd->bshe", context, q)
+        out = out.reshape(b, hh, ww, hidden)
+        return x + Conv2d(self.in_channels, 1, padding=0, dtype=self.dtype, name="to_out")(out)
+
+
+def make_attn(in_channels: int, attn_type: str = "vanilla", dtype=None, name: str = "attn"):
+    """Attention block factory (model.py:255-284). The reference's CUDA backend
+    zoo (vanilla/xformers/torch-sdp) collapses to VAEAttnBlock, whose
+    dot_product_attention dispatches to the right TPU kernel; 'linear' and
+    'none' keep their distinct semantics."""
+    if attn_type in ("vanilla", "vanilla-xformers", "memory-efficient-cross-attn", "torch-sdp"):
+        return VAEAttnBlock(in_channels, dtype=dtype, name=name)
+    if attn_type == "linear":
+        return LinAttnBlock(in_channels, dtype=dtype, name=name)
+    if attn_type == "none":
+        return lambda x: x
+    raise ValueError(f"attn_type {attn_type} unknown")
+
+
 class Downsample(nn.Module):
     """Asymmetric-pad stride-2 conv or avg-pool (model.py:65-82)."""
 
@@ -149,6 +187,7 @@ class Encoder(nn.Module):
     double_z: bool = True
     dropout: float = 0.0
     resamp_with_conv: bool = True
+    attn_type: str = "vanilla"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -171,13 +210,13 @@ class Encoder(nn.Module):
                 )(h, deterministic)
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
-                    h = VAEAttnBlock(block_in, dtype=self.dtype, name=f"down.{i_level}.attn.{i_block}")(h)
+                    h = make_attn(block_in, self.attn_type, dtype=self.dtype, name=f"down.{i_level}.attn.{i_block}")(h)
             if i_level != num_res - 1:
                 h = Downsample(block_in, self.resamp_with_conv, dtype=self.dtype, name=f"down.{i_level}.downsample")(h)
                 curr_res //= 2
 
         h = ResnetBlock(block_in, block_in, dropout=self.dropout, dtype=self.dtype, name="mid.block_1")(h, deterministic)
-        h = VAEAttnBlock(block_in, dtype=self.dtype, name="mid.attn_1")(h)
+        h = make_attn(block_in, self.attn_type, dtype=self.dtype, name="mid.attn_1")(h)
         h = ResnetBlock(block_in, block_in, dropout=self.dropout, dtype=self.dtype, name="mid.block_2")(h, deterministic)
 
         h = GroupNorm32(32, epsilon=1e-6, name="norm_out")(h)
@@ -200,6 +239,7 @@ class Decoder(nn.Module):
     tanh_out: bool = False
     dropout: float = 0.0
     resamp_with_conv: bool = True
+    attn_type: str = "vanilla"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -210,7 +250,7 @@ class Decoder(nn.Module):
 
         h = Conv2d(block_in, 3, dtype=self.dtype, name="conv_in")(z)
         h = ResnetBlock(block_in, block_in, dropout=self.dropout, dtype=self.dtype, name="mid.block_1")(h, deterministic)
-        h = VAEAttnBlock(block_in, dtype=self.dtype, name="mid.attn_1")(h)
+        h = make_attn(block_in, self.attn_type, dtype=self.dtype, name="mid.attn_1")(h)
         h = ResnetBlock(block_in, block_in, dropout=self.dropout, dtype=self.dtype, name="mid.block_2")(h, deterministic)
 
         for i_level in reversed(range(num_res)):
@@ -225,7 +265,7 @@ class Decoder(nn.Module):
                 )(h, deterministic)
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
-                    h = VAEAttnBlock(block_in, dtype=self.dtype, name=f"up.{i_level}.attn.{i_block}")(h)
+                    h = make_attn(block_in, self.attn_type, dtype=self.dtype, name=f"up.{i_level}.attn.{i_block}")(h)
             if i_level != 0:
                 h = Upsample(block_in, self.resamp_with_conv, dtype=self.dtype, name=f"up.{i_level}.upsample")(h)
                 curr_res *= 2
@@ -276,6 +316,7 @@ class Model(nn.Module):
     use_timestep: bool = True
     dropout: float = 0.0
     resamp_with_conv: bool = True
+    attn_type: str = "vanilla"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -321,7 +362,7 @@ class Model(nn.Module):
                 )(hs[-1], deterministic, temb)
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
-                    h = VAEAttnBlock(block_in, dtype=self.dtype, name=f"down.{i_level}.attn.{i_block}")(h)
+                    h = make_attn(block_in, self.attn_type, dtype=self.dtype, name=f"down.{i_level}.attn.{i_block}")(h)
                 hs.append(h)
             if i_level != num_res - 1:
                 hs.append(
@@ -332,7 +373,7 @@ class Model(nn.Module):
                 curr_res //= 2
 
         h = ResnetBlock(block_in, block_in, dropout=self.dropout, temb_channels=tc, dtype=self.dtype, name="mid.block_1")(hs[-1], deterministic, temb)
-        h = VAEAttnBlock(block_in, dtype=self.dtype, name="mid.attn_1")(h)
+        h = make_attn(block_in, self.attn_type, dtype=self.dtype, name="mid.attn_1")(h)
         h = ResnetBlock(block_in, block_in, dropout=self.dropout, temb_channels=tc, dtype=self.dtype, name="mid.block_2")(h, deterministic, temb)
 
         for i_level in reversed(range(num_res)):
@@ -351,7 +392,7 @@ class Model(nn.Module):
                 )(jnp.concatenate([h, hs.pop()], axis=-1), deterministic, temb)
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
-                    h = VAEAttnBlock(block_in, dtype=self.dtype, name=f"up.{i_level}.attn.{i_block}")(h)
+                    h = make_attn(block_in, self.attn_type, dtype=self.dtype, name=f"up.{i_level}.attn.{i_block}")(h)
             if i_level != 0:
                 h = Upsample(block_in, self.resamp_with_conv, dtype=self.dtype, name=f"up.{i_level}.upsample")(h)
                 curr_res *= 2

@@ -163,3 +163,49 @@ class Downsample(nn.Module):
             return Conv2d(self.out_channels or self.channels, 3, stride=2, padding=1, dtype=self.dtype, name="op")(x)
         assert (self.out_channels or self.channels) == self.channels
         return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+class AlphaBlender(nn.Module):
+    """Blend spatial/temporal branches by a (learnable) mix factor.
+
+    Parity: modules/diffusion/util.py:237-286 (AlphaBlender). Strategies:
+      - "fixed": alpha is a constant
+      - "learned": alpha = sigmoid(mix_factor), a trained scalar
+      - "learned_with_images": per-frame — alpha forced to 1 where
+        image_only_indicator marks an image-only frame, sigmoid(mix_factor)
+        elsewhere, then reshaped by `rearrange_pattern`
+
+    out = alpha * x_spatial + (1 - alpha) * x_temporal
+    """
+
+    alpha: float
+    merge_strategy: str = "learned_with_images"
+    rearrange_pattern: str = "b t -> (b t) 1 1"
+
+    def get_alpha(self, image_only_indicator: Optional[jax.Array] = None) -> jax.Array:
+        if self.merge_strategy == "fixed":
+            return jnp.asarray([self.alpha], jnp.float32)
+        mix = self.param("mix_factor", lambda _: jnp.asarray([self.alpha], jnp.float32))
+        if self.merge_strategy == "learned":
+            return jax.nn.sigmoid(mix)
+        if self.merge_strategy == "learned_with_images":
+            assert image_only_indicator is not None, "need image_only_indicator"
+            from einops import rearrange
+
+            a = jnp.where(
+                image_only_indicator.astype(bool),
+                jnp.ones((1, 1), jnp.float32),
+                jax.nn.sigmoid(mix)[..., None],
+            )
+            return rearrange(a, self.rearrange_pattern)
+        raise ValueError(f"unknown merge strategy {self.merge_strategy}")
+
+    @nn.compact
+    def __call__(
+        self,
+        x_spatial: jax.Array,
+        x_temporal: jax.Array,
+        image_only_indicator: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        alpha = self.get_alpha(image_only_indicator).astype(x_spatial.dtype)
+        return alpha * x_spatial + (1.0 - alpha) * x_temporal

@@ -12,6 +12,17 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+def pil_pad_square(image, fill=(255, 255, 255)):
+    """Pad a PIL image to a centered square canvas (utils/image/pil.py:16-27)."""
+    from PIL import Image
+
+    w, h = image.size
+    px = max(image.size)
+    canvas = Image.new("RGB", (px, px), fill)
+    canvas.paste(image, ((px - w) // 2, (px - h) // 2))
+    return canvas
+
+
 def denormalize(x: np.ndarray) -> np.ndarray:
     """[-1,1] → [0,1] (utils/image/vae.py parity)."""
     return np.clip((np.asarray(x, np.float32) + 1.0) / 2.0, 0.0, 1.0)

@@ -70,3 +70,33 @@ def test_freeze_slice_transform():
     assert np.abs(np.asarray(updates["embedding"][:2])).sum() == 0  # frozen rows
     assert np.abs(np.asarray(updates["embedding"][2:])).sum() > 0
     assert np.abs(np.asarray(updates["dense"])).sum() > 0
+
+
+def test_alpha_blender():
+    """AlphaBlender parity (modules/diffusion/util.py:237-286): fixed /
+    learned / learned_with_images strategies."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neurosis_tpu.modules.layers import AlphaBlender
+
+    xs, xt = jnp.ones((4, 3, 5)), jnp.zeros((4, 3, 5))
+
+    out, _ = AlphaBlender(alpha=0.3, merge_strategy="fixed").init_with_output(
+        jax.random.PRNGKey(0), xs, xt
+    )
+    np.testing.assert_allclose(np.asarray(out), 0.3, rtol=1e-6)
+
+    out, v = AlphaBlender(alpha=0.0, merge_strategy="learned").init_with_output(
+        jax.random.PRNGKey(0), xs, xt
+    )
+    np.testing.assert_allclose(np.asarray(out), 0.5, rtol=1e-6)
+    assert v["params"]["mix_factor"].shape == (1,)
+
+    ind = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])  # (b=2, t=2) image-only flags
+    out, _ = AlphaBlender(alpha=0.0, merge_strategy="learned_with_images").init_with_output(
+        jax.random.PRNGKey(0), xs, xt, ind
+    )
+    expect = np.array([1.0, 0.5, 0.5, 1.0])[:, None, None] * np.ones((4, 3, 5))
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6)

@@ -259,3 +259,40 @@ def test_s3_loader_drops_failed_urls():
     loader._fs = FakeFS({"s3://a": b"A", "s3://b": b"B"})
     out = loader.fetch(["s3://a", "s3://b", "s3://missing"])
     assert out == {"s3://a": b"A", "s3://b": b"B"}
+
+
+# ---------------------------------------------------------------------------
+# square / VAE variants (mongo/nobucket.py:22-143, nocaption.py:21-104)
+# ---------------------------------------------------------------------------
+
+
+def test_mongo_square_dataset(tmp_path):
+    from neurosis_tpu.data.mongo import MongoSquareDataset
+
+    ds = make_ds(tmp_path, cls=MongoSquareDataset, n=6, batch_size=3, resolution=32)
+    ds._fs = FakeFS({f"s3://bucket/img{i}.png": _png_bytes(seed=i) for i in range(6)})
+    ds.preload()
+
+    sample = ds[0]
+    assert sample["image"].shape == (32, 32, 3)
+    assert sample["caption"] == "caption 0"
+    assert sample["target_size_as_tuple"] == (32, 32)
+    # clamp_orig: original size clamped to the crop resolution
+    assert sample["original_size_as_tuple"] == (32, 32)
+
+    batches = list(ds.get_batch_iterator())
+    assert len(batches) == 2 and all(len(b) == 3 for b in batches)
+    batch = ds.get_batch(batches[0])
+    assert batch["image"].shape == (3, 32, 32, 3)
+    assert len(batch["caption"]) == 3
+
+
+def test_mongo_vae_dataset_has_no_captions(tmp_path):
+    from neurosis_tpu.data.mongo import MongoVAEDataset
+
+    ds = make_ds(tmp_path, cls=MongoVAEDataset, n=4, batch_size=2, resolution=32)
+    ds._fs = FakeFS({f"s3://bucket/img{i}.png": _png_bytes(seed=i) for i in range(4)})
+    ds.preload()
+    sample = ds[0]
+    assert "caption" not in sample
+    assert sample["image"].shape == (32, 32, 3)

@@ -1,0 +1,115 @@
+"""Small-parity sweep: ActNorm, VAE make_attn variants, pil_crop_random,
+pil_pad_square, collate_dict_lists (reference symbols with no prior analog)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+
+def test_actnorm_data_dependent_init():
+    """ActNorm (modules/layers.py:10-86): first-batch init makes output
+    zero-mean/unit-std per channel; reverse inverts; logdet shape."""
+    from neurosis_tpu.losses.patchgan import ActNorm
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 6, 6, 4).astype(np.float32) * 3.0 + 1.5)
+
+    an = ActNorm()
+    out, variables = an.init_with_output(jax.random.PRNGKey(0), x)
+    m = np.asarray(jnp.mean(out, axis=(0, 1, 2)))
+    s = np.asarray(jnp.std(out, axis=(0, 1, 2)))
+    np.testing.assert_allclose(m, 0.0, atol=1e-4)
+    np.testing.assert_allclose(s, 1.0, atol=1e-3)
+
+    # reverse round-trips
+    back = an.apply(variables, out, reverse=True)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=1e-4, atol=1e-4)
+
+    # 2-D input path
+    x2 = jnp.asarray(rng.randn(8, 4).astype(np.float32))
+    out2, v2 = ActNorm().init_with_output(jax.random.PRNGKey(0), x2)
+    assert out2.shape == (8, 4)
+
+    # logdet: height*width*sum(log|scale|) per batch element
+    outl, vl = ActNorm(logdet=True).init_with_output(jax.random.PRNGKey(0), x)
+    h, ld = outl
+    assert ld.shape == (8,)
+    expect = 6 * 6 * np.sum(np.log(np.abs(np.asarray(vl["params"]["scale"]))))
+    np.testing.assert_allclose(np.asarray(ld), expect, rtol=1e-5)
+
+
+def test_patchgan_actnorm_option():
+    from neurosis_tpu.losses.patchgan import NLayerDiscriminator
+
+    disc = NLayerDiscriminator(input_nc=3, ndf=8, n_layers=2, use_actnorm=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3).astype(np.float32))
+    out, variables = disc.init_with_output(jax.random.PRNGKey(0), x)
+    assert out.ndim == 4 and out.shape[-1] == 1
+    assert "batch_stats" not in variables  # ActNorm replaces BatchNorm
+
+
+def test_make_attn_variants():
+    from neurosis_tpu.models.vae import LinAttnBlock, VAEAttnBlock, make_attn
+
+    assert isinstance(make_attn(32, "vanilla"), VAEAttnBlock)
+    assert isinstance(make_attn(32, "linear"), LinAttnBlock)
+    x = jnp.ones((1, 4, 4, 32))
+    assert make_attn(32, "none")(x) is x
+    with pytest.raises(ValueError):
+        make_attn(32, "bogus")
+
+    lin = LinAttnBlock(32)
+    out, _ = lin.init_with_output(jax.random.PRNGKey(0), x)
+    assert out.shape == x.shape
+
+
+def test_pil_crop_random():
+    from PIL import Image
+
+    from neurosis_tpu.data.utils import pil_crop_random
+
+    rng = np.random.default_rng(0)
+    # big image: downscaled to ≤2x target then cropped
+    big = Image.fromarray((np.random.RandomState(0).rand(300, 400, 3) * 255).astype("uint8"))
+    img, (top, left) = pil_crop_random(big, 64, rng=rng)
+    assert img.size == (64, 64)
+    # cover-resized frame is ~171x128 → crop offsets within its margins
+    assert 0 <= top <= 64 and 0 <= left <= 107
+
+    # small image: upscaled to cover
+    small = Image.fromarray((np.random.RandomState(1).rand(20, 30, 3) * 255).astype("uint8"))
+    img, _ = pil_crop_random(small, 64, rng=rng)
+    assert img.size == (64, 64)
+
+    # exact size: identity
+    exact = Image.fromarray((np.random.RandomState(2).rand(64, 64, 3) * 255).astype("uint8"))
+    img, crop = pil_crop_random(exact, 64, rng=rng)
+    assert img.size == (64, 64) and crop == (0, 0)
+
+
+def test_pil_pad_square():
+    from PIL import Image
+
+    from neurosis_tpu.utils.image import pil_pad_square
+
+    img = Image.fromarray((np.random.RandomState(0).rand(40, 100, 3) * 255).astype("uint8"))
+    out = pil_pad_square(img)
+    assert out.size == (100, 100)
+    # original centered; corners are the fill color
+    assert out.getpixel((0, 0)) == (255, 255, 255)
+    assert out.getpixel((50, 50)) != (255, 255, 255)
+
+
+def test_collate_dict_lists():
+    from neurosis_tpu.data.utils import collate_dict_lists
+
+    samples = [
+        {"image": np.ones((4, 4, 3), np.float32) * i, "caption": f"c{i}", "meta": (i, i)}
+        for i in range(3)
+    ]
+    out = collate_dict_lists(samples)
+    assert out["image"].shape == (3, 4, 4, 3)
+    assert out["caption"] == ["c0", "c1", "c2"]
+    assert out["meta"] == [(0, 0), (1, 1), (2, 2)]

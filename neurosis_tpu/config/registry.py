@@ -29,6 +29,12 @@ def _hooks():
     return hooks
 
 
+def _ae_cls(name: str):
+    import neurosis_tpu.models.autoencoder as ae
+
+    return getattr(ae, name)
+
+
 def _mongo_cls(name: str):
     # mongo datasets import pymongo/s3fs lazily — the module itself is safe
     import neurosis_tpu.data.mongo as mongo
@@ -161,6 +167,13 @@ def _populate():
         "neurosis.models.text_encoder.FrozenCLIPT5Encoder": FrozenCLIPT5Encoder,
         "neurosis.modules.encoders.metadata.ConcatTimestepEmbedderND": ConcatTimestepEmbedderND,
         "neurosis.modules.encoders.misc.IdentityEncoder": IdentityEncoder,
+        # autoencoder wrappers (models/autoencoder.py:640-700)
+        "neurosis.models.IdentityFirstStage": _ae_cls("IdentityFirstStage"),
+        "neurosis.models.autoencoder.IdentityFirstStage": _ae_cls("IdentityFirstStage"),
+        "neurosis.models.AutoencoderKLInferenceWrapper": _ae_cls("AutoencoderKLInferenceWrapper"),
+        "neurosis.models.autoencoder.AutoencoderKLInferenceWrapper": _ae_cls("AutoencoderKLInferenceWrapper"),
+        "neurosis.models.AEIntegerWrapper": _ae_cls("AEIntegerWrapper"),
+        "neurosis.models.autoencoder.AEIntegerWrapper": _ae_cls("AEIntegerWrapper"),
         # regularizers (quantize.py / regularizers/__init__.py)
         "neurosis.modules.autoencoding.regularizers.DiagonalGaussianRegularizer": DiagonalGaussianRegularizer,
         "neurosis.modules.autoencoding.regularizers.IdentityRegularizer": IdentityRegularizer,

@@ -34,7 +34,9 @@ class AutoencoderKL(nn.Module):
 
     def setup(self):
         dd = dict(self.ddconfig)
-        dd.pop("attn_type", None)  # attention backend is a dispatch concern here
+        # CUDA backend spellings (vanilla-xformers etc.) normalize in make_attn;
+        # linear/none keep their distinct semantics
+        attn_type = dd.pop("attn_type", "vanilla")
         double_z = dd.pop("double_z", True)
         z_ch = dd.get("z_channels", 4)
         self.encoder = Encoder(
@@ -47,6 +49,7 @@ class AutoencoderKL(nn.Module):
             z_channels=z_ch,
             double_z=double_z,
             dropout=dd.get("dropout", 0.0),
+            attn_type=attn_type,
             dtype=self.dtype,
             name="encoder",
         )
@@ -59,6 +62,7 @@ class AutoencoderKL(nn.Module):
             resolution=dd.get("resolution", 256),
             z_channels=z_ch,
             dropout=dd.get("dropout", 0.0),
+            attn_type=attn_type,
             dtype=self.dtype,
             name="decoder",
         )
@@ -78,5 +82,74 @@ class AutoencoderKL(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         """init path: encode then decode the mode."""
         moments = self.encode(x, deterministic)
-        mean, _ = jnp.split(moments, 2, axis=-1)
-        return self.decode(mean, deterministic)
+        if self.ddconfig.get("double_z", True):
+            # KL: moments = (mean, logvar) — decode the mean
+            moments, _ = jnp.split(moments, 2, axis=-1)
+        return self.decode(moments, deterministic)
+
+
+class AutoencoderKLInferenceWrapper(AutoencoderKL):
+    """encode() returns a latent sample instead of moments
+    (models/autoencoder.py:640-643). Pass `rng` to sample; default = mode
+    (the deterministic analog of the reference's stochastic .sample())."""
+
+    def encode(self, x: jax.Array, deterministic: bool = True, rng=None) -> jax.Array:
+        from neurosis_tpu.modules.distributions import DiagonalGaussian
+
+        moments = super().encode(x, deterministic)
+        dist = DiagonalGaussian.from_moments(moments)
+        return dist.sample(rng) if rng is not None else dist.mode()
+
+
+class IdentityFirstStage:
+    """Pass-through first stage for pixel-space diffusion
+    (models/autoencoder.py:645-660): encode/decode are identity."""
+
+    def __init__(self, input_key: str = "jpg", **_):
+        self.input_key = input_key
+
+    def get_input(self, batch) -> jax.Array:
+        return batch[self.input_key]
+
+    def encode(self, x, *args, **kwargs):
+        return x
+
+    def decode(self, x, *args, **kwargs):
+        return x
+
+
+class AEIntegerWrapper:
+    """Inference wrapper exposing a VQ autoencoder as int-token codec
+    (models/autoencoder.py:662-700): encode → flat codebook indices,
+    decode(indices) → image via the regularizer's codebook.
+
+    Functional idiom: wraps a flax AE module + its bound variables and the VQ
+    regularizer module + variables (the reference grabs `model.regularization`
+    by attribute; here both halves are explicit).
+    """
+
+    def __init__(self, model, variables, quantizer, quantizer_variables, shape=(16, 16)):
+        if not (hasattr(model, "encode") and hasattr(model, "decode")):
+            raise ValueError("Need AE interface (encode and decode methods)")
+        self.model = model
+        self.variables = variables
+        self.quantizer = quantizer
+        self.quantizer_variables = quantizer_variables
+        self.shape = tuple(shape) if shape is not None else None
+
+    def encode(self, x: jax.Array) -> jax.Array:
+        z = self.model.apply(self.variables, x, method="encode")
+        _, log = self.quantizer.apply(self.quantizer_variables, z)
+        idx = log["min_encoding_indices"]
+        return idx.reshape(idx.shape[0], -1)
+
+    def decode(self, indices: jax.Array, shape=None) -> jax.Array:
+        shape = shape or self.shape
+        if shape is not None:
+            if len(shape) != 2:
+                raise ValueError(f"Invalid input shape: {shape}")
+            indices = indices.reshape(indices.shape[0], shape[0], shape[1])
+        h = self.quantizer.apply(
+            self.quantizer_variables, indices, method="get_codebook_entry"
+        )
+        return self.model.apply(self.variables, h, method="decode")

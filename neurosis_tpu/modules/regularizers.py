@@ -42,13 +42,23 @@ class VectorQuantizer(nn.Module):
     log_perplexity: bool = False
     loss_key: str = "loss/vq"
 
-    @nn.compact
-    def __call__(self, z: jax.Array) -> Tuple[jax.Array, dict]:
-        emb = self.param(
+    def setup(self):
+        self.embedding = self.param(
             "embedding",
             lambda k, s: jax.random.uniform(k, s, minval=-1.0 / self.n_e, maxval=1.0 / self.n_e),
             (self.n_e, self.e_dim),
         )
+
+    def get_codebook_entry(self, indices: jax.Array, shape=None) -> jax.Array:
+        """indices → codebook vectors [..., e_dim] (quantize.py:292-318);
+        AEIntegerWrapper's decode path."""
+        h = self.embedding[indices]
+        if shape is not None:
+            h = h.reshape(shape)
+        return h
+
+    def __call__(self, z: jax.Array) -> Tuple[jax.Array, dict]:
+        emb = self.embedding
         shape = z.shape
         zf = z.reshape(-1, self.e_dim)
         d = (
@@ -71,6 +81,7 @@ class VectorQuantizer(nn.Module):
             probs = jnp.mean(onehot, axis=0)
             log["perplexity"] = jnp.exp(-jnp.sum(probs * jnp.log(probs + 1e-10)))
         log["indices"] = idx.reshape(shape[:-1])
+        log["min_encoding_indices"] = log["indices"]  # reference key (quantize.py:282)
         return z_q, log
 
 

@@ -102,6 +102,8 @@ def build_conditioner(node: dict) -> tuple[GeneralConditioner, list[int]]:
 def build_first_stage(node: Optional[dict]) -> Optional[AutoencoderKL]:
     if node is None:
         return None
+    if "IdentityFirstStage" in (node.get("class_path") or ""):
+        return None  # engine runs pixel-space (identity_first_stage flag)
     args = node.get("init_args") or {}
     ddconfig = args.get("ddconfig")
     if ddconfig is None:
@@ -121,7 +123,6 @@ def build_autoencoding_engine(model_node: dict):
 
     args = dict(model_node.get("init_args") or {})
     dd = dict(args.get("ddconfig") or {})
-    dd.pop("attn_type", None)
     double_z = dd.pop("double_z", True)
     common = dict(
         ch=dd.get("ch", 128),
@@ -131,11 +132,18 @@ def build_autoencoding_engine(model_node: dict):
         resolution=dd.get("resolution", 256),
         z_channels=dd.get("z_channels", 4),
         dropout=dd.get("dropout", 0.0),
+        attn_type=dd.pop("attn_type", "vanilla"),
     )
     encoder = Encoder(in_channels=dd.get("in_channels", 3), double_z=double_z, **common)
     decoder = Decoder(out_ch=dd.get("out_ch", 3), **common)
 
     loss = instantiate(args["loss"]) if isinstance(args.get("loss"), dict) else AutoencoderPerceptual()
+    # pluggable bottleneck (regularizer_config: KL sample/mode or VQ family)
+    regularizer = (
+        instantiate(args["regularizer_config"])
+        if isinstance(args.get("regularizer_config"), dict)
+        else None
+    )
     g_opt = build_optimizer(args.get("optimizer"), args.get("scheduler"))
     d_opt = build_optimizer(args.get("disc_optimizer")) if args.get("disc_optimizer") else _optax.adam(1e-4)
 
@@ -144,6 +152,7 @@ def build_autoencoding_engine(model_node: dict):
         encoder=encoder,
         decoder=decoder,
         loss=loss,
+        regularizer=regularizer,
         g_optimizer=g_opt,
         d_optimizer=d_opt,
         kl_weight=float(args.get("kl_weight", 0.0)),
@@ -206,6 +215,8 @@ def build_diffusion_engine(model_node: dict) -> DiffusionEngine:
         loss_fn=loss_fn,
         conditioner=conditioner,
         first_stage=first_stage,
+        identity_first_stage="IdentityFirstStage"
+        in ((args.get("first_stage_model") or {}).get("class_path") or ""),
         optimizer=optimizer,
         sampler=sampler,
         scale_factor=args.get("scale_factor", 0.18215),

@@ -48,6 +48,9 @@ class DiffusionEngine:
     first_stage: Optional[Any] = None  # AutoencoderKL (encode/decode methods)
     first_stage_encoder: Optional[Encoder] = None
     first_stage_decoder: Optional[Decoder] = None
+    # IdentityFirstStage (models/autoencoder.py:645): pixel-space diffusion,
+    # encode/decode are identity (scale_factor still applies)
+    identity_first_stage: bool = False
     optimizer: Optional[optax.GradientTransformation] = None
     sampler: Any = None
     scale_factor: float = 0.18215
@@ -101,6 +104,8 @@ class DiffusionEngine:
         if self.latents_key and self.latents_key in batch:
             return batch[self.latents_key]
         img = batch[self.input_key]
+        if self.identity_first_stage:
+            return jnp.zeros(img.shape, img.dtype)
         h, w = img.shape[1] // 8, img.shape[2] // 8
         return jnp.zeros((img.shape[0], h, w, self.model.in_channels), img.dtype)
 
@@ -123,6 +128,8 @@ class DiffusionEngine:
 
     def encode_first_stage(self, frozen: dict, x: jax.Array, rng: jax.Array) -> jax.Array:
         """images [-1,1] NHWC → scaled latents (models/diffusion.py:187-197)."""
+        if self.identity_first_stage:
+            return jax.lax.stop_gradient(self.scale_factor * x)
         if self.first_stage is not None:
             moments = self.first_stage.apply(
                 {"params": frozen["first_stage"]}, x, method="encode"
@@ -133,6 +140,8 @@ class DiffusionEngine:
         return jax.lax.stop_gradient(self.scale_factor * z)
 
     def decode_first_stage(self, frozen: dict, z: jax.Array) -> jax.Array:
+        if self.identity_first_stage:
+            return z / self.scale_factor
         if self.first_stage is not None:
             return self.first_stage.apply(
                 {"params": frozen["first_stage"]}, z / self.scale_factor, method="decode"

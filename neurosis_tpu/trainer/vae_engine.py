@@ -61,6 +61,12 @@ class AutoencodingEngine:
     g_optimizer: optax.GradientTransformation = None
     d_optimizer: Optional[optax.GradientTransformation] = None
     kl_weight: float = 0.0  # regularization_weights['kl_loss'] equivalent
+    # pluggable bottleneck (reference regularizer_config, autoencoder.py:160-166):
+    # None → diagonal-Gaussian KL (the AutoencoderKL default); a plain
+    # regularizer (Identity/DiagonalGaussianRegularizer) or a flax VQ module
+    # (VectorQuantizer[WithInputProjection]/GumbelQuantizer — params train with
+    # the generator; EMAVectorQuantizer's mutable codebook is not wired here)
+    regularizer: Optional[Any] = None
     sample_posterior: bool = True
     input_key: str = "image"
     use_ema: bool = False
@@ -79,6 +85,12 @@ class AutoencodingEngine:
         # AutoencoderLPIPSWithDiscr and GeneralLPIPS/VQLPIPSWithDiscriminator
         return hasattr(self.loss, "disc_loss")
 
+    @property
+    def _reg_is_module(self) -> bool:
+        import flax.linen as fnn
+
+        return isinstance(self.regularizer, fnn.Module)
+
     def _g_keys(self) -> tuple:
         keys = []
         if not self.freeze_encoder:
@@ -87,16 +99,31 @@ class AutoencodingEngine:
             keys.append("decoder")
         if not keys:
             raise ValueError("both encoder and decoder frozen — nothing to train")
+        if self._reg_is_module:
+            keys.append("regularizer")  # VQ codebook trains with the generator
         return tuple(keys)
+
+    def _regularize(self, params: dict, moments: jax.Array, rng: Optional[jax.Array]):
+        """moments/z → (z, regularization_log) via the configured bottleneck."""
+        if self.regularizer is None:
+            dist = DiagonalGaussian.from_moments(moments)
+            z = dist.sample(rng) if (self.sample_posterior and rng is not None) else dist.mode()
+            return z, {"kl_loss": dist.kl()}
+        if self._reg_is_module:
+            return self.regularizer.apply({"params": params.get("regularizer", {})}, moments)
+        return self.regularizer(moments, rng)
 
     # ------------------------------------------------------------------
 
     def init(self, rng: jax.Array, batch: dict) -> VAETrainState:
         x = batch[self.input_key]
-        r_enc, r_dec, r_loss, r_state = jax.random.split(rng, 4)
+        r_enc, r_dec, r_loss, r_reg, r_state = jax.random.split(rng, 5)
         enc_params = self.encoder.init(r_enc, x)["params"]
         moments = self.encoder.apply({"params": enc_params}, x)
-        z = DiagonalGaussian.from_moments(moments).mode()
+        reg_params = {}
+        if self._reg_is_module:
+            reg_params = self.regularizer.init(r_reg, moments).get("params", {})
+        z, _ = self._regularize({"regularizer": reg_params}, moments, rng=None)
         dec_params = self.decoder.init(r_dec, z)["params"]
 
         if self.has_discriminator:
@@ -107,6 +134,8 @@ class AutoencodingEngine:
         batch_stats = loss_vars.get("batch_stats", {})
 
         params = {"encoder": enc_params, "decoder": dec_params, "loss": loss_params}
+        if self._reg_is_module:
+            params["regularizer"] = reg_params
         g_params = _tree_paths_with(params, self._g_keys())
         g_opt_state = self.g_optimizer.init(g_params)
         d_opt_state = None
@@ -130,12 +159,12 @@ class AutoencodingEngine:
     # ------------------------------------------------------------------
 
     def forward(self, params: dict, x: jax.Array, rng: Optional[jax.Array]):
-        """encode → sample/mode → decode (autoencoder.py:469-504)."""
+        """encode → regularize (KL sample / VQ quantize) → decode
+        (autoencoder.py:469-504)."""
         moments = self.encoder.apply({"params": params["encoder"]}, x)
-        dist = DiagonalGaussian.from_moments(moments)
-        z = dist.sample(rng) if (self.sample_posterior and rng is not None) else dist.mode()
+        z, reg_log = self._regularize(params, moments, rng)
         recons = self.decoder.apply({"params": params["decoder"]}, z)
-        return z, recons, dist
+        return z, recons, reg_log
 
     def _loss_apply(self, loss_params, batch_stats, inputs, recons, step, optimizer_idx,
                     train=True, **extra):
@@ -199,15 +228,32 @@ class AutoencodingEngine:
         def loss_fn(g_params):
             params = dict(state.params)
             params.update(g_params)
-            z, recons, dist = self.forward(params, x, z_rng)
+            z, recons, reg_log = self.forward(params, x, z_rng)
+            call_extra = dict(extra)
+            if self.has_discriminator:
+                # sgm-family losses consume the regularizer's log directly
+                # (VQ codebook term, regularization_weights passthrough);
+                # taming-style AutoencoderLPIPSWithDiscr does not take it
+                import inspect
+
+                if "regularization_log" in inspect.signature(self.loss.__call__).parameters:
+                    call_extra["regularization_log"] = reg_log
             (loss, log), new_stats = self._loss_apply(
-                params["loss"], state.batch_stats, x, recons, state.step, 0, **extra
+                params["loss"], state.batch_stats, x, recons, state.step, 0, **call_extra
             )
             total = jnp.mean(loss)
-            if self.kl_weight > 0:
-                kl = jnp.mean(dist.kl())
+            if self.kl_weight > 0 and "kl_loss" in reg_log:
+                kl = jnp.mean(reg_log["kl_loss"])
                 total = total + self.kl_weight * kl
                 log = dict(log, **{"train/loss/kl": kl})
+            elif self.regularizer is not None and not self.has_discriminator:
+                # plain recon losses don't see reg_log — add the VQ/commitment
+                # term engine-side (its own β already scales it)
+                lk = getattr(self.regularizer, "loss_key", None)
+                if lk and lk in reg_log:
+                    q = jnp.mean(reg_log[lk])
+                    total = total + q
+                    log = dict(log, **{f"train/{lk}": q})
             return total, (log, new_stats)
 
         g_params = _tree_paths_with(state.params, self._g_keys())

@@ -29,6 +29,12 @@ def _hooks():
     return hooks
 
 
+def _enc_misc(name: str):
+    import neurosis_tpu.modules.encoders.misc as misc
+
+    return getattr(misc, name)
+
+
 def _ae_cls(name: str):
     import neurosis_tpu.models.autoencoder as ae
 
@@ -167,6 +173,11 @@ def _populate():
         "neurosis.models.text_encoder.FrozenCLIPT5Encoder": FrozenCLIPT5Encoder,
         "neurosis.modules.encoders.metadata.ConcatTimestepEmbedderND": ConcatTimestepEmbedderND,
         "neurosis.modules.encoders.misc.IdentityEncoder": IdentityEncoder,
+        "neurosis.modules.encoders.classed.ClassEmbedder": _enc_misc("ClassEmbedder"),
+        "neurosis.modules.encoders.classed.ClassEmbedderForMultiCond": _enc_misc("ClassEmbedderForMultiCond"),
+        "neurosis.modules.encoders.metadata.GaussianEncoder": _enc_misc("GaussianEncoder"),
+        "neurosis.modules.encoders.embedding.SpatialRescaler": _enc_misc("SpatialRescaler"),
+        "neurosis.modules.encoders.lowscale.LowScaleEncoder": _enc_misc("LowScaleEncoder"),
         # autoencoder wrappers (models/autoencoder.py:640-700)
         "neurosis.models.IdentityFirstStage": _ae_cls("IdentityFirstStage"),
         "neurosis.models.autoencoder.IdentityFirstStage": _ae_cls("IdentityFirstStage"),

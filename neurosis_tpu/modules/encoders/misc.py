@@ -39,6 +39,16 @@ class ClassEmbedder(AbstractEmbModel):
         return self.n_classes  # extra ucg class (classed.py:28-32)
 
 
+class ClassEmbedderForMultiCond(ClassEmbedder):
+    """ClassEmbedder accepting a list-valued batch entry (classed.py:35-44):
+    embeds the first element, preserving the list wrapper."""
+
+    def __call__(self, c) -> Tuple[jax.Array]:
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return super().__call__(c)
+
+
 class GaussianEncoder(AbstractEmbModel):
     """VAE-encoder embedder: image → sampled latent tokens (metadata.py:39-54)."""
 

@@ -69,11 +69,33 @@ def _default_font(size: int = 12):
         return ImageFont.load_default()
 
 
+def wrap_caption(text: str, font, max_width: int, draw, max_lines: int = 4) -> list:
+    """Greedy word-wrap to a pixel width (utils/image/grid.py:71-90
+    wrap_captions contract); the last kept line is ellipsised if truncated."""
+    words = str(text).split()
+    lines: list = []
+    cur = ""
+    for word in words:
+        cand = f"{cur} {word}".strip()
+        if draw.textlength(cand, font=font) <= max_width or not cur:
+            cur = cand
+        else:
+            lines.append(cur)
+            cur = word
+    if cur:
+        lines.append(cur)
+    if len(lines) > max_lines:
+        lines = lines[:max_lines]
+        lines[-1] += "…"
+    return lines
+
+
 def caption_grid(
     images: Sequence, captions: Optional[Sequence[str]] = None, cols: int = 2, pad: int = 4,
-    caption_height: int = 32,
+    caption_height: Optional[int] = None,
 ):
-    """Captioned grid of PIL images (utils/image/grid.py CaptionGrid parity)."""
+    """Captioned grid of PIL images (utils/image/grid.py CaptionGrid parity);
+    captions word-wrap to the cell width, the caption band grows to fit."""
     from PIL import Image, ImageDraw
 
     images = [array_to_pil(im) if not hasattr(im, "save") else im for im in images]
@@ -82,19 +104,28 @@ def caption_grid(
     rows = (n + cols - 1) // cols
     w = max(im.width for im in images)
     h = max(im.height for im in images)
-    cap_h = caption_height if captions else 0
+
+    font = _default_font()
+    measurer = ImageDraw.Draw(Image.new("RGB", (8, 8)))
+    line_h = (measurer.textbbox((0, 0), "Ag", font=font)[3]) + 2
+    wrapped: list = []
+    if captions:
+        wrapped = [wrap_caption(c, font, w - 4, measurer) for c in captions]
+    if caption_height is not None:
+        cap_h = caption_height if captions else 0
+    else:
+        cap_h = (max((len(ls) for ls in wrapped), default=0) * line_h + 4) if captions else 0
 
     grid = Image.new("RGB", (cols * (w + pad) + pad, rows * (h + cap_h + pad) + pad), (24, 24, 24))
     draw = ImageDraw.Draw(grid)
-    font = _default_font()
     for i, im in enumerate(images):
         r, c = divmod(i, cols)
         x0 = pad + c * (w + pad)
         y0 = pad + r * (h + cap_h + pad)
         grid.paste(im, (x0, y0))
-        if captions and i < len(captions):
-            text = str(captions[i])[:120]
-            draw.text((x0 + 2, y0 + h + 2), text, fill=(230, 230, 230), font=font)
+        if captions and i < len(wrapped):
+            for j, line in enumerate(wrapped[i][: max(1, cap_h // line_h)]):
+                draw.text((x0 + 2, y0 + h + 2 + j * line_h), line, fill=(230, 230, 230), font=font)
     return grid
 
 

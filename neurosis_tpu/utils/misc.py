@@ -84,3 +84,39 @@ def get_nested_attribute(obj: Any, path: str) -> Any:
         else:
             obj = getattr(obj, part)
     return obj
+
+
+def np_text_decode(text, aslist: bool = False):
+    """bytes/np.bytes_/ndarray → str (utils/text.py:4-13)."""
+    import numpy as np
+
+    if not isinstance(text, list):
+        text = [text]
+    text = [x.tobytes() if isinstance(x, np.ndarray) else x for x in text]
+    text = [x.decode("utf-8") if isinstance(x, (np.bytes_, bytes)) else x for x in text]
+    if len(text) == 1 and not aslist:
+        return text[0]
+    return text
+
+
+def maybe_collect(threshold: float = 75.0) -> None:
+    """GC when RAM use exceeds threshold% (utils/system.py:11-18) — long
+    streaming-dataset runs accumulate cycles the allocator never triggers on."""
+    import gc
+
+    try:
+        import psutil
+
+        used = psutil.virtual_memory().percent
+    except ImportError:  # psutil optional: fall back to /proc
+        try:
+            fields = {}
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    k, v = line.split(":", 1)
+                    fields[k] = int(v.strip().split()[0])
+            used = 100.0 * (1.0 - fields["MemAvailable"] / fields["MemTotal"])
+        except Exception:
+            return
+    if used >= threshold:
+        gc.collect()

@@ -113,3 +113,42 @@ def test_collate_dict_lists():
     assert out["image"].shape == (3, 4, 4, 3)
     assert out["caption"] == ["c0", "c1", "c2"]
     assert out["meta"] == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_np_text_decode_and_maybe_collect():
+    from neurosis_tpu.utils.misc import maybe_collect, np_text_decode
+
+    assert np_text_decode(np.bytes_(b"hello")) == "hello"
+    assert np_text_decode([b"a", "b"]) == ["a", "b"]
+    assert np_text_decode("x", aslist=True) == ["x"]
+    maybe_collect(0.0)  # always collects; must not raise
+    maybe_collect(101.0)  # never collects
+
+
+def test_class_embedder_multicond():
+    from neurosis_tpu.modules.encoders.misc import ClassEmbedderForMultiCond
+
+    m = ClassEmbedderForMultiCond(embed_dim=8, n_classes=10)
+    c = jnp.asarray([1, 2, 3])
+    (out,), _ = m.init_with_output(jax.random.PRNGKey(0), [c])
+    (out2,), _ = m.init_with_output(jax.random.PRNGKey(0), c)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_wrap_caption_and_grid():
+    from PIL import Image, ImageDraw
+
+    from neurosis_tpu.utils.image import caption_grid, wrap_caption
+
+    draw = ImageDraw.Draw(Image.new("RGB", (8, 8)))
+    from neurosis_tpu.utils.image import _default_font
+
+    font = _default_font()
+    long = "a much longer caption that definitely needs to wrap across lines"
+    lines = wrap_caption(long, font, 60, draw)
+    assert len(lines) > 1
+    assert lines[-1].endswith("…") or sum(len(l.split()) for l in lines) == len(long.split())
+
+    imgs = [Image.new("RGB", (64, 64)) for _ in range(2)]
+    g = caption_grid(imgs, captions=[long, "short"])
+    assert g.width > 64 and g.height > 64

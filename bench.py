@@ -59,17 +59,21 @@ def main() -> None:
     # b2: same wall-clock, fewer counted flops).
     batch, res = (2, 128) if on_tpu else (1, 16)
     batch = int(os.environ.get("NEUROSIS_BENCH_BATCH", batch))
+    # default policy dots_names: save every transformer matmul output AND the
+    # flash-attention residuals (o, lse); the bwd remat recomputes elementwise
+    # ops only. Measured b2 sweep: full 2.051 steps/s (0.439 MFU), names 2.061
+    # (0.4405), dots_names 2.115 (0.452) — and it still fits b2 HBM.
     remat_env = os.environ.get("NEUROSIS_BENCH_REMAT", "1")
     use_remat = remat_env not in ("0", "false")
-    # policy pass-through: dots | dots_all | names | dots_names, or a
+    # policy pass-through: full | dots | dots_all | names | dots_names, or a
     # comma-separated per-level triple (e.g. "names,names,full")
-    _policies = ("dots", "dots_all", "names", "dots_names")
+    _policies = ("full", "dots", "dots_all", "names", "dots_names")
     if "," in remat_env:
-        remat_policy = tuple(p if p in _policies + ("none",) else "full" for p in remat_env.split(","))
+        remat_policy = tuple(p if p in _policies + ("none",) else "dots_names" for p in remat_env.split(","))
     elif remat_env in _policies:
         remat_policy = remat_env
     else:
-        remat_policy = "full"
+        remat_policy = "dots_names"
 
     model = UNetModel(
         in_channels=4,

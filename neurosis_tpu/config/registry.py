@@ -29,6 +29,24 @@ def _hooks():
     return hooks
 
 
+def _cb_cls(name: str):
+    import neurosis_tpu.trainer.callbacks as cbs
+
+    return getattr(cbs, name)
+
+
+def _engine_cls(name: str):
+    import neurosis_tpu.trainer.engine as eng
+
+    return getattr(eng, name)
+
+
+def _vae_engine_cls():
+    from neurosis_tpu.trainer.vae_engine import AutoencodingEngine
+
+    return AutoencodingEngine
+
+
 def _enc_misc(name: str):
     import neurosis_tpu.modules.encoders.misc as misc
 
@@ -106,7 +124,7 @@ def _populate():
         GeneralConditioner,
         IdentityEncoder,
     )
-    from neurosis_tpu.optimizers import Adafactor, came
+    from neurosis_tpu.optimizers import Adafactor, adafactor_relative_step_schedule, came
     from neurosis_tpu.sampling import (
         DPMPP2MSampler,
         DPMPP2SAncestralSampler,
@@ -178,6 +196,14 @@ def _populate():
         "neurosis.modules.encoders.metadata.GaussianEncoder": _enc_misc("GaussianEncoder"),
         "neurosis.modules.encoders.embedding.SpatialRescaler": _enc_misc("SpatialRescaler"),
         "neurosis.modules.encoders.lowscale.LowScaleEncoder": _enc_misc("LowScaleEncoder"),
+        # task-module class paths (the CLI builds engines from the YAML node
+        # via trainer/builder.py; these resolve for programmatic use)
+        "neurosis.models.DiffusionEngine": _engine_cls("DiffusionEngine"),
+        "neurosis.models.diffusion.DiffusionEngine": _engine_cls("DiffusionEngine"),
+        "neurosis.models.AutoencoderKL": _ae_cls("AutoencoderKL"),
+        "neurosis.models.autoencoder.AutoencoderKL": _ae_cls("AutoencoderKL"),
+        "neurosis.models.autoencoder.AutoencodingEngine": _vae_engine_cls(),
+        "neurosis.models.AutoencodingEngine": _vae_engine_cls(),
         # autoencoder wrappers (models/autoencoder.py:640-700)
         "neurosis.models.IdentityFirstStage": _ae_cls("IdentityFirstStage"),
         "neurosis.models.autoencoder.IdentityFirstStage": _ae_cls("IdentityFirstStage"),
@@ -230,6 +256,11 @@ def _populate():
         "neurosis.dataset.processing.TagRewards": _hooks().TagRewards,
         # optimizers / schedulers
         "neurosis.optimizers.Adafactor": Adafactor,
+        "neurosis.optimizers.AdafactorScheduler": adafactor_relative_step_schedule,
+        # Lightning callback class paths → our callbacks (consumed by the CLI)
+        "DeviceStatsMonitor": _cb_cls("DeviceStatsCallback"),
+        "lightning.pytorch.callbacks.DeviceStatsMonitor": _cb_cls("DeviceStatsCallback"),
+        "lightning.pytorch.callbacks.ModelSummary": _cb_cls("ModelSummaryCallback"),
         "neurosis.optimizers.CAME": came,
         "neurosis.optimizers.came.CAME": came,
         "neurosis.schedulers.CosineWithWarmUp": schedulers.cosine_with_warmup,
@@ -239,7 +270,10 @@ def _populate():
         "neurosis.schedulers.CosineAnnealingWarmupRestarts": schedulers.cosine_annealing_warmup_restarts,
         "neurosis.schedulers.CosineDecayWithWarmup": schedulers.cosine_decay_with_warmup,
         "neurosis.schedulers.CosineWarmupSchedule": schedulers.cosine_warmup_schedule,
+        "neurosis.schedulers.CosineWarmupStagedSchedule": schedulers.cosine_warmup_schedule_staged,
         "neurosis.schedulers.LinearWarmupSchedule": schedulers.linear_warmup_schedule,
+        # deprecated upstream variant — same schedule family (cosine.py:114)
+        "neurosis.schedulers.LegacyCosineAnnealingWarmupRestarts": schedulers.cosine_annealing_warmup_restarts,
     }
     REGISTRY.update({k: v for k, v in mapping.items() if k not in REGISTRY})
 

@@ -207,6 +207,22 @@ class DeviceStatsCallback:
             pass
 
 
+class ModelSummaryCallback:
+    """Print the layer/param summary table at fit start
+    (lightning.pytorch.callbacks.ModelSummary / utils/summary/model.py role)."""
+
+    def __init__(self, max_depth: int = 2, **_):
+        self.max_depth = max_depth
+
+    def on_fit_start(self, trainer, state):
+        from neurosis_tpu.utils.summary import summarize
+
+        try:
+            logger.info("\n" + summarize(state.params, max_depth=self.max_depth))
+        except Exception as e:  # pragma: no cover - summary is best-effort
+            logger.debug(f"model summary failed: {e}")
+
+
 class ProgressCallback:
     """Throughput + smoothed-loss console reporting (NeurosisProgressBar role)."""
 

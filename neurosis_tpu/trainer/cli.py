@@ -111,6 +111,28 @@ def _build(args):
     max_steps = getattr(args, "max_steps", None) or trainer_cfg.get("max_steps", 1000)
 
     callbacks = []
+    # trainer.callbacks list (Lightning class paths → our callbacks;
+    # unknown entries warn and skip so reference configs run unmodified)
+    for node in trainer_cfg.get("callbacks") or []:
+        cp = (node.get("class_path") or "") if isinstance(node, dict) else str(node)
+        ia = (node.get("init_args") or {}) if isinstance(node, dict) else {}
+        if cp.endswith("DeviceStatsMonitor"):
+            from neurosis_tpu.trainer.callbacks import DeviceStatsCallback
+
+            callbacks.append(DeviceStatsCallback(every_n_train_steps=ia.get("every_n_train_steps", 100)))
+        elif cp.endswith("ModelSummary"):
+            from neurosis_tpu.trainer.callbacks import ModelSummaryCallback
+
+            callbacks.append(ModelSummaryCallback(max_depth=ia.get("max_depth", 2)))
+        elif cp.endswith("LearningRateMonitor"):
+            pass  # LR is a pure step schedule here; logged with metrics
+        else:
+            try:
+                from neurosis_tpu.config.registry import resolve_class_path
+
+                callbacks.append(resolve_class_path(cp)(**ia))
+            except Exception:
+                logger.warning(f"skipping unsupported trainer callback {cp!r}")
     if cfg.get("image_logger"):
         from neurosis_tpu.trainer.callbacks import ImageLogger
 

@@ -60,10 +60,16 @@ def shard_batch(mesh: Mesh, batch: Any, data_axis: str = "data") -> Any:
     """
     data_size = mesh.shape[data_axis]
     multihost = jax.process_count() > 1
+    # multi-host: each process holds 1/process_count of the batch, so the
+    # shardability check is against the PER-PROCESS share of the data axis
+    # (comparing the local dim to the global axis size would mis-classify
+    # every batch array as replicated on a pod)
+    local_data = data_size // jax.process_count() if multihost else data_size
+    local_data = max(local_data, 1)
 
     def _put(x):
         x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % data_size == 0:
+        if x.ndim >= 1 and x.shape[0] >= local_data and x.shape[0] % local_data == 0:
             spec = P(data_axis)
         else:
             spec = P()

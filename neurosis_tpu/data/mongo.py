@@ -77,6 +77,9 @@ class BaseMongoDataset:
         s3_endpoint: Optional[str] = None,
         skip_preload: bool = False,
         extra_keys: Sequence[str] | str = (),
+        fs_type: str = "s3",  # FilesystemType: any fsspec protocol (s3|file|http|...)
+        fsspec_kwargs: Optional[dict] = None,
+        path_prefix: Optional[str] = None,
     ):
         self.settings = settings or MongoSettings.from_env()
         self.image_url_key = image_url_key
@@ -85,6 +88,9 @@ class BaseMongoDataset:
         self.retry_backoff = retry_backoff
         self.s3_endpoint = s3_endpoint or os.environ.get("S3_ENDPOINT_URL")
         self.extra_keys = extra_keys
+        self.fs_type = str(fs_type)
+        self.fsspec_kwargs = dict(fsspec_kwargs or {})
+        self.path_prefix = path_prefix
         self._client = None
         self._fs = None
         self._pid = os.getpid()
@@ -118,10 +124,10 @@ class BaseMongoDataset:
         if self._fs is None:
             import fsspec
 
-            kwargs = {}
-            if self.s3_endpoint:
-                kwargs["client_kwargs"] = {"endpoint_url": self.s3_endpoint}
-            self._fs = fsspec.filesystem("s3", **kwargs)
+            kwargs = dict(self.fsspec_kwargs)
+            if self.fs_type == "s3" and self.s3_endpoint:
+                kwargs.setdefault("client_kwargs", {"endpoint_url": self.s3_endpoint})
+            self._fs = fsspec.filesystem(self.fs_type, **kwargs)
         return self._fs
 
     # -- metadata (base.py:114-217) ------------------------------------------
@@ -168,6 +174,8 @@ class BaseMongoDataset:
     # -- image fetch (base.py:234-262) ----------------------------------------
 
     def _get_image_bytes(self, url: str) -> bytes:
+        if self.path_prefix:
+            url = self.path_prefix.rstrip("/") + "/" + str(url).lstrip("/")
         delay = 0.5
         last = None
         for attempt in range(self.retries):

@@ -296,3 +296,34 @@ def test_mongo_vae_dataset_has_no_captions(tmp_path):
     sample = ds[0]
     assert "caption" not in sample
     assert sample["image"].shape == (32, 32, 3)
+
+
+def test_local_filesystem_and_path_prefix(tmp_path):
+    """fs_type='file' + path_prefix (base.py FilesystemType + path_prefix):
+    the dataset reads images off the local disk through fsspec."""
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(3):
+        arr = (np.random.RandomState(i).rand(64, 96, 3) * 255).astype("uint8")
+        Image.fromarray(arr).save(img_dir / f"img{i}.png")
+
+    rows_local = [
+        {"s3_url": f"img{i}.png", "caption": f"c{i}", "aspect": 1.5, "resolution": [96, 64]}
+        for i in range(3)
+    ]
+    from neurosis_tpu.data.mongo import MongoSquareDataset
+
+    ds = MongoSquareDataset(
+        settings=MongoSettings(uri="mongodb://fake", database="db", collection="images"),
+        cache_dir=str(tmp_path / "cache"),
+        skip_preload=True,
+        resolution=32,
+        fs_type="file",
+        path_prefix=str(img_dir),
+    )
+    ds._client = FakeClient(rows_local)
+    ds.preload()
+    sample = ds[0]
+    assert sample["image"].shape == (32, 32, 3)

@@ -1,0 +1,160 @@
+"""HuggingFace-datasets adapter (README.md:35 "Support for Huggingface
+datasets (kinda! ... it should work if the keys match)").
+
+Wraps any indexable dataset of dicts — `datasets.Dataset`, a list of dicts,
+or anything with `__len__`/`__getitem__` — into the framework's batch
+contract: cover-resize + random-crop to a fixed square (or an aspect bucket
+when `buckets` is given), SDXL micro-conditioning tuple, caption cleaning,
+same-bucket batch schedule. The `datasets` library itself is NOT required;
+nothing here imports it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Generator, Optional, Sequence
+
+import numpy as np
+
+from .utils import clean_caption, collate_dict_stack, image_to_array, pil_crop_bucket, pil_crop_square
+
+
+def _as_pil(image):
+    from PIL import Image
+
+    from .utils import pil_ensure_rgb
+
+    if hasattr(image, "convert"):  # already PIL
+        return pil_ensure_rgb(image)
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+    return pil_ensure_rgb(Image.fromarray(arr))
+
+
+class HFDatasetAdapter:
+    """dataset[i][image_key/caption_key] → training batches."""
+
+    def __init__(
+        self,
+        dataset: Any,
+        image_key: str = "image",
+        caption_key: str = "caption",
+        resolution: int = 256,
+        batch_size: int = 1,
+        buckets: Optional[Any] = None,  # AspectBucketList → aspect mode
+        clamp_orig: bool = True,
+        process_tags: bool = True,
+        shuffle_tags: bool = False,
+        shuffle_keep: int = 0,
+        tag_sep: str = ", ",
+        word_sep: str = " ",
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.image_key = image_key
+        self.caption_key = caption_key
+        self.resolution = (resolution, resolution) if isinstance(resolution, int) else tuple(resolution)
+        self.batch_size = batch_size
+        self.buckets = buckets
+        self.clamp_orig = clamp_orig
+        self.process_tags = process_tags
+        self.shuffle_tags = shuffle_tags
+        self.shuffle_keep = shuffle_keep
+        self.tag_sep = tag_sep
+        self.word_sep = word_sep
+        self.rng = np.random.default_rng(seed)
+        self._bucket_idx: Optional[np.ndarray] = None
+        if buckets is not None:
+            self._assign_buckets()
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    # -- aspect mode ---------------------------------------------------------
+
+    def _assign_buckets(self) -> None:
+        """One pass over the dataset metadata to pin each row to a bucket.
+
+        Uses `width`/`height` columns when present (HF image datasets usually
+        carry them); otherwise opens the image lazily for its size.
+        """
+        idxs = np.zeros(len(self.dataset), np.int64)
+        for i in range(len(self.dataset)):
+            row = self.dataset[i]
+            if "aspect" in row:
+                aspect = float(row["aspect"])
+            elif "width" in row and "height" in row:
+                aspect = float(row["width"]) / float(row["height"])
+            else:
+                im = _as_pil(row[self.image_key])
+                aspect = im.width / im.height
+            idxs[i] = int(self.buckets.bucket_idx(aspect))
+        self._bucket_idx = idxs
+
+    # -- samples -------------------------------------------------------------
+
+    def __getitem__(self, index: int) -> dict:
+        row = self.dataset[index]
+        image = _as_pil(row[self.image_key])
+        resolution = image.size
+
+        if self.buckets is not None:
+            bucket = self.buckets[int(self._bucket_idx[index])]
+            image, crop = pil_crop_bucket(image, bucket, rng=self.rng)
+            target = bucket.size
+        else:
+            image, crop = pil_crop_square(image, self.resolution, rng=self.rng)
+            target = self.resolution
+
+        osize = (
+            (min(resolution[0], target[0]), min(resolution[1], target[1]))
+            if self.clamp_orig
+            else tuple(resolution)
+        )
+        caption = row.get(self.caption_key, "") if hasattr(row, "get") else row[self.caption_key]
+        caption = clean_caption(
+            str(caption),
+            process_tags=self.process_tags,
+            shuffle_tags=self.shuffle_tags,
+            shuffle_keep=self.shuffle_keep,
+            tag_sep=self.tag_sep,
+            word_sep=self.word_sep,
+            rng=self.rng,
+        )
+        return {
+            self.image_key: image_to_array(image),
+            self.caption_key: caption,
+            "original_size_as_tuple": osize,
+            "crop_coords_top_left": crop,
+            "target_size_as_tuple": target,
+        }
+
+    # -- batches -------------------------------------------------------------
+
+    def get_batch(self, indices: Sequence[int]) -> dict:
+        return collate_dict_stack([self[i] for i in indices])
+
+    def get_batch_iterator(self) -> Generator[list, None, None]:
+        if self.buckets is None:
+            order = np.arange(len(self.dataset), dtype=np.int64)
+            self.rng.shuffle(order)
+            n_full = len(order) // self.batch_size
+
+            def it():
+                for b in range(n_full):
+                    yield [int(i) for i in order[b * self.batch_size : (b + 1) * self.batch_size]]
+
+            return it()
+
+        # same-bucket batches (the aspect contract)
+        order = np.arange(len(self.dataset), dtype=np.int64)
+        self.rng.shuffle(order)
+        by_bucket: dict = {}
+        for i in order:
+            by_bucket.setdefault(int(self._bucket_idx[i]), []).append(int(i))
+        sched = []
+        for bidx, items in by_bucket.items():
+            for b in range(len(items) // self.batch_size):
+                sched.append(items[b * self.batch_size : (b + 1) * self.batch_size])
+        self.rng.shuffle(sched)
+        return iter(sched)

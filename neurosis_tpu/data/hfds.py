@@ -27,7 +27,10 @@ def _as_pil(image):
         return pil_ensure_rgb(image)
     arr = np.asarray(image)
     if arr.dtype != np.uint8:
-        arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+        # floats may be stored in [0,1] or [0,255]; scale only the former
+        if float(arr.max(initial=0.0)) <= 1.0:
+            arr = arr * 255.0
+        arr = np.clip(arr, 0.0, 255.0).astype(np.uint8)
     return pil_ensure_rgb(Image.fromarray(arr))
 
 
@@ -78,16 +81,31 @@ class HFDatasetAdapter:
         Uses `width`/`height` columns when present (HF image datasets usually
         carry them); otherwise opens the image lazily for its size.
         """
-        idxs = np.zeros(len(self.dataset), np.int64)
-        for i in range(len(self.dataset)):
-            row = self.dataset[i]
-            if "aspect" in row:
-                aspect = float(row["aspect"])
-            elif "width" in row and "height" in row:
-                aspect = float(row["width"]) / float(row["height"])
+        n = len(self.dataset)
+        aspects = None
+        # column-wise metadata access first (datasets.Dataset supports
+        # dataset["width"]): avoids decoding every image just to read sizes
+        for cols in (("aspect",), ("width", "height")):
+            try:
+                vals = [np.asarray(self.dataset[c], dtype=np.float64) for c in cols]
+                if all(v.shape == (n,) for v in vals):
+                    aspects = vals[0] if len(vals) == 1 else vals[0] / vals[1]
+                    break
+            except Exception:
+                continue
+        idxs = np.zeros(n, np.int64)
+        for i in range(n):
+            if aspects is not None:
+                aspect = float(aspects[i])
             else:
-                im = _as_pil(row[self.image_key])
-                aspect = im.width / im.height
+                row = self.dataset[i]
+                if "aspect" in row:
+                    aspect = float(row["aspect"])
+                elif "width" in row and "height" in row:
+                    aspect = float(row["width"]) / float(row["height"])
+                else:
+                    im = _as_pil(row[self.image_key])
+                    aspect = im.width / im.height
             idxs[i] = int(self.buckets.bucket_idx(aspect))
         self._bucket_idx = idxs
 
@@ -136,15 +154,9 @@ class HFDatasetAdapter:
 
     def get_batch_iterator(self) -> Generator[list, None, None]:
         if self.buckets is None:
-            order = np.arange(len(self.dataset), dtype=np.int64)
-            self.rng.shuffle(order)
-            n_full = len(order) // self.batch_size
+            from .utils import shuffled_chunk_batches
 
-            def it():
-                for b in range(n_full):
-                    yield [int(i) for i in order[b * self.batch_size : (b + 1) * self.batch_size]]
-
-            return it()
+            return shuffled_chunk_batches(len(self.dataset), self.batch_size, self.rng)
 
         # same-bucket batches (the aspect contract)
         order = np.arange(len(self.dataset), dtype=np.int64)

@@ -345,15 +345,9 @@ class MongoSquareDataset(BaseMongoDataset):
 
     def get_batch_iterator(self) -> Generator[list[int], None, None]:
         """No buckets: shuffled fixed-size chunks (nobucket.py contract)."""
-        order = np.arange(len(self.samples), dtype=np.int64)
-        self.rng.shuffle(order)
-        n_full = len(order) // self.batch_size
+        from .utils import shuffled_chunk_batches
 
-        def it():
-            for b in range(n_full):
-                yield [int(i) for i in order[b * self.batch_size : (b + 1) * self.batch_size]]
-
-        return it()
+        return shuffled_chunk_batches(len(self.samples), self.batch_size, self.rng)
 
 
 class MongoVAEDataset(MongoSquareDataset):

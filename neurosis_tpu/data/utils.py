@@ -179,3 +179,18 @@ def collate_dict_stack(samples: Sequence[dict]) -> dict:
         else:
             out[key] = list(vals)
     return out
+
+
+def shuffled_chunk_batches(n: int, batch_size: int, rng: Optional[np.random.Generator] = None):
+    """Shuffled fixed-size index chunks (the no-bucket batch schedule shared
+    by the square/VAE datasets and the HF adapter); drops the ragged tail."""
+    rng = rng or np.random.default_rng()
+    order = np.arange(n, dtype=np.int64)
+    rng.shuffle(order)
+    n_full = n // batch_size
+
+    def it():
+        for b in range(n_full):
+            yield [int(i) for i in order[b * batch_size : (b + 1) * batch_size]]
+
+    return it()

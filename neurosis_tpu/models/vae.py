@@ -99,27 +99,29 @@ class VAEAttnBlock(nn.Module):
 
 
 class LinAttnBlock(nn.Module):
-    """Linear (kernelized) spatial attention (attention.py:77-94 LinearAttention
-    wrapped by model.py LinAttnBlock): softmax over *tokens* of k, then the
-    low-rank context kᵀv is applied to q — O(S·d²) instead of O(S²·d)."""
+    """Linear (kernelized) spatial attention (attention.py:77-94 LinearAttention;
+    model.py:137-141 pins heads=1, dim_head=in_channels and adds NO residual):
+    softmax over *tokens* of k, then the low-rank context kᵀv is applied to
+    q — O(S·d²) instead of O(S²·d)."""
 
     in_channels: int
-    heads: int = 4
-    dim_head: int = 32
+    heads: int = 1
+    dim_head: Optional[int] = None  # None → in_channels (LinAttnBlock pin)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, hh, ww, c = x.shape
-        hidden = self.heads * self.dim_head
+        dim_head = self.dim_head or self.in_channels
+        hidden = self.heads * dim_head
         qkv = Conv2d(hidden * 3, 1, padding=0, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
-        qkv = qkv.reshape(b, hh * ww, 3, self.heads, self.dim_head)
+        qkv = qkv.reshape(b, hh * ww, 3, self.heads, dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, S, H, D]
         k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(q.dtype)
         context = jnp.einsum("bshd,bshe->bhde", k, v)
         out = jnp.einsum("bhde,bshd->bshe", context, q)
         out = out.reshape(b, hh, ww, hidden)
-        return x + Conv2d(self.in_channels, 1, padding=0, dtype=self.dtype, name="to_out")(out)
+        return Conv2d(self.in_channels, 1, padding=0, dtype=self.dtype, name="to_out")(out)
 
 
 def make_attn(in_channels: int, attn_type: str = "vanilla", dtype=None, name: str = "attn"):

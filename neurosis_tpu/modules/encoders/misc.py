@@ -41,7 +41,9 @@ class ClassEmbedder(AbstractEmbModel):
 
 class ClassEmbedderForMultiCond(ClassEmbedder):
     """ClassEmbedder accepting a list-valued batch entry (classed.py:35-44):
-    embeds the first element, preserving the list wrapper."""
+    embeds the first element. The reference mutates the batch dict in place
+    and re-wraps its output in a list; our conditioner consumes embedder
+    outputs as arrays, so the unwrap is the whole adaptation here."""
 
     def __call__(self, c) -> Tuple[jax.Array]:
         if isinstance(c, (list, tuple)):

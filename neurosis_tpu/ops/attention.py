@@ -72,7 +72,10 @@ def dot_product_attention(
     if context_axis is not None:
         from .ring_attention import ring_self_attention
 
-        return ring_self_attention(q, k, v, axis_name=context_axis)
+        out = ring_self_attention(q, k, v, axis_name=context_axis)
+        # named so the "names"/"dots_names" remat policies save the ring
+        # output instead of re-running the cross-chip permute loop in bwd
+        return jax.ad_checkpoint.checkpoint_name(out, "attn_out")
     if _use_pallas() and mask is None and q.shape[-2] >= _PALLAS_MIN_SEQ:
         from .flash_attention import flash_attention
 

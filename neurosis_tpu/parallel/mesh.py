@@ -66,10 +66,25 @@ def shard_batch(mesh: Mesh, batch: Any, data_axis: str = "data") -> Any:
     # every batch array as replicated on a pod)
     local_data = data_size // jax.process_count() if multihost else data_size
     local_data = max(local_data, 1)
+    # batch arrays all share the (local) batch size = the max leading dim;
+    # smaller leading dims (singleton uncond rows, per-batch metadata) are
+    # replicated — divisibility alone would misclassify them whenever
+    # local_data degenerates to 1 (data axis ≤ process count)
+    leading = [
+        np.shape(leaf)[0]
+        for leaf in jax.tree_util.tree_leaves(batch)
+        if np.ndim(leaf) >= 1
+    ]
+    local_bs = max(leading) if leading else 0
 
     def _put(x):
         x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] >= local_data and x.shape[0] % local_data == 0:
+        if (
+            x.ndim >= 1
+            and x.shape[0] == local_bs
+            and x.shape[0] >= local_data
+            and x.shape[0] % local_data == 0
+        ):
             spec = P(data_axis)
         else:
             spec = P()

@@ -110,7 +110,14 @@ class AutoencodingEngine:
             z = dist.sample(rng) if (self.sample_posterior and rng is not None) else dist.mode()
             return z, {"kl_loss": dist.kl()}
         if self._reg_is_module:
-            return self.regularizer.apply({"params": params.get("regularizer", {})}, moments)
+            import inspect
+
+            variables = {"params": params.get("regularizer", {})}
+            # GumbelQuantizer needs the rng for its gumbel noise + straight-
+            # through path; plain VQ takes only z
+            if rng is not None and "rng" in inspect.signature(type(self.regularizer).__call__).parameters:
+                return self.regularizer.apply(variables, moments, rng)
+            return self.regularizer.apply(variables, moments)
         return self.regularizer(moments, rng)
 
     # ------------------------------------------------------------------
@@ -229,15 +236,16 @@ class AutoencodingEngine:
             params = dict(state.params)
             params.update(g_params)
             z, recons, reg_log = self.forward(params, x, z_rng)
-            call_extra = dict(extra)
-            if self.has_discriminator:
-                # sgm-family losses consume the regularizer's log directly
-                # (VQ codebook term, regularization_weights passthrough);
-                # taming-style AutoencoderLPIPSWithDiscr does not take it
-                import inspect
+            import inspect
 
-                if "regularization_log" in inspect.signature(self.loss.__call__).parameters:
-                    call_extra["regularization_log"] = reg_log
+            loss_takes_reg = self.has_discriminator and (
+                "regularization_log" in inspect.signature(self.loss.__call__).parameters
+            )
+            call_extra = dict(extra)
+            if loss_takes_reg:
+                # sgm-family losses consume the regularizer's log directly
+                # (VQ codebook term, regularization_weights passthrough)
+                call_extra["regularization_log"] = reg_log
             (loss, log), new_stats = self._loss_apply(
                 params["loss"], state.batch_stats, x, recons, state.step, 0, **call_extra
             )
@@ -246,9 +254,11 @@ class AutoencodingEngine:
                 kl = jnp.mean(reg_log["kl_loss"])
                 total = total + self.kl_weight * kl
                 log = dict(log, **{"train/loss/kl": kl})
-            elif self.regularizer is not None and not self.has_discriminator:
-                # plain recon losses don't see reg_log — add the VQ/commitment
-                # term engine-side (its own β already scales it)
+            elif self.regularizer is not None and not loss_takes_reg:
+                # losses that don't see reg_log (plain recon, taming-style
+                # AutoencoderLPIPSWithDiscr): add the VQ/commitment term
+                # engine-side (its own β already scales it) so the codebook
+                # actually trains
                 lk = getattr(self.regularizer, "loss_key", None)
                 if lk and lk in reg_log:
                     q = jnp.mean(reg_log[lk])

@@ -135,3 +135,30 @@ def test_identity_first_stage_pixel_diffusion():
     step = jax.jit(eng.train_step)
     state, log = step(state, frozen, b)
     assert np.isfinite(float(log["loss"]))
+
+
+def test_gumbel_engine_grads_flow():
+    """GumbelQuantizer under the engine: the rng must reach the quantizer so
+    the gumbel straight-through path (not the argmax dead-end) runs and the
+    proj head gets gradients."""
+    from neurosis_tpu.modules.regularizers import GumbelQuantizer
+
+    common = dict(ch=32, ch_mult=[1], num_res_blocks=1, attn_resolutions=[], resolution=32)
+    eng = AutoencodingEngine(
+        encoder=Encoder(double_z=False, z_channels=4, **common),
+        decoder=Decoder(out_ch=3, z_channels=4, **common),
+        loss=AutoencoderPerceptual(perceptual_weight=0.0),
+        regularizer=GumbelQuantizer(n_e=16, e_dim=4, num_hiddens=4),
+        g_optimizer=optax.adam(1e-3),
+        sample_posterior=False,
+    )
+    state = eng.init(jax.random.PRNGKey(0), batch())
+    proj0 = np.asarray(
+        jax.tree_util.tree_leaves(state.params["regularizer"])[0]
+    ).copy()
+    g_step = jax.jit(eng.g_step)
+    for i in range(3):
+        state, log = g_step(state, batch(seed=i))
+    assert np.isfinite(float(log["total"]))
+    proj1 = np.asarray(jax.tree_util.tree_leaves(state.params["regularizer"])[0])
+    assert np.abs(proj1 - proj0).max() > 0, "gumbel quantizer params did not train"

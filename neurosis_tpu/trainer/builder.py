@@ -54,6 +54,31 @@ def build_engine(model_node: dict):
     return builder(model_node)
 
 
+_BF16_PRECISIONS = {"bf16", "bf16-mixed", "bf16-true", "16", "16-mixed", "16-true", 16}
+
+
+def apply_precision(engine, precision):
+    """trainer.precision (Lightning 'bf16-mixed' etc.) → bf16 compute dtype on
+    the trainable backbone, fp32 text/VAE islands (SDXLMixedPrecision
+    semantics, fsdp/diffusionpolicy.py:62-105: param/reduce dtype bf16 with
+    tenc_fp32/vae_fp32 defaulting True). Norms already compute in fp32."""
+    import dataclasses as _dc
+
+    import jax.numpy as _jnp
+
+    if precision not in _BF16_PRECISIONS:
+        return engine
+    try:
+        if hasattr(engine, "model") and engine.model is not None:
+            engine.model = _dc.replace(engine.model, dtype=_jnp.bfloat16)
+        elif hasattr(engine, "encoder") and engine.encoder is not None:
+            engine.encoder = _dc.replace(engine.encoder, dtype=_jnp.bfloat16)
+            engine.decoder = _dc.replace(engine.decoder, dtype=_jnp.bfloat16)
+    except (TypeError, ValueError) as e:  # non-dataclass module: leave as-is
+        logger.warning(f"precision={precision!r} not applied: {e}")
+    return engine
+
+
 def build_optimizer(node: Optional[dict], scheduler_node: Optional[dict] = None):
     """optimizer/scheduler config → optax transformation (stacked by default,
     disable per-node with `stacked: false`)."""

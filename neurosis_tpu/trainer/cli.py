@@ -103,6 +103,10 @@ def _build(args):
     trainer_cfg = cfg.get("trainer", {}) or {}
 
     engine = build_engine(cfg["model"])
+    if trainer_cfg.get("precision") is not None:
+        from neurosis_tpu.trainer.builder import apply_precision
+
+        engine = apply_precision(engine, trainer_cfg["precision"])
     dataset = instantiate(cfg["data"]) if "data" in cfg else None
 
     fast_dev = trainer_cfg.get("fast_dev_run", False)

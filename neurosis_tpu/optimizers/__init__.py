@@ -4,7 +4,7 @@ from .adafactor import Adafactor, adafactor_relative_step_schedule
 from .adamw8bit import adamw8bit, scale_by_adam_8bit
 from .came import came
 from .hybrid import hybrid_optimizer
-from .utils import stochastic_round_bf16
+from .utils import apply_updates_stochastic, stochastic_round_bf16
 
 __all__ = [
     "Adafactor",
@@ -13,5 +13,6 @@ __all__ = [
     "came",
     "hybrid_optimizer",
     "scale_by_adam_8bit",
+    "apply_updates_stochastic",
     "stochastic_round_bf16",
 ]

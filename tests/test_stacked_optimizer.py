@@ -110,3 +110,28 @@ def test_stacked_bf16_params():
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=1e-2, atol=1e-6
         )
+
+
+def test_apply_updates_stochastic():
+    """Stochastic bf16 apply: unbiased in expectation where deterministic
+    rounding loses the update entirely."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neurosis_tpu.optimizers.utils import apply_updates_stochastic
+
+    p = {"w": jnp.full((4096,), 1.0, jnp.bfloat16), "b": jnp.zeros((4,), jnp.float32)}
+    # update far below bf16 resolution at 1.0 (eps ~ 0.0078)
+    u = {"w": jnp.full((4096,), 1e-3, jnp.float32), "b": jnp.ones((4,), jnp.float32)}
+
+    # deterministic apply loses it completely
+    det = (p["w"].astype(jnp.float32) + u["w"]).astype(jnp.bfloat16)
+    assert float(jnp.mean(det.astype(jnp.float32))) == 1.0
+
+    new = apply_updates_stochastic(p, u, jax.random.PRNGKey(0))
+    assert new["w"].dtype == jnp.bfloat16
+    mean = float(jnp.mean(new["w"].astype(jnp.float32)))
+    # E[rounded] ≈ 1.001: some elements must round up
+    assert 1.0005 < mean < 1.002, mean
+    np.testing.assert_allclose(np.asarray(new["b"]), 1.0)

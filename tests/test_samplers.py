@@ -16,10 +16,12 @@ import jax.numpy as jnp  # noqa: E402
 from neurosis_tpu.diffusion import LegacyDDPMDiscretization  # noqa: E402
 from neurosis_tpu.sampling import (  # noqa: E402
     DPMPP2MSampler,
+    DPMPP2SAncestralSampler,
     EulerAncestralSampler,
     EulerEDMSampler,
     HeunEDMSampler,
     IdentityGuider,
+    LinearMultistepSampler,
     VanillaCFG,
 )
 
@@ -37,7 +39,14 @@ def _load_ref_sampling():
         utils_stub = types.ModuleType("neurosis.utils")
         sys.modules["neurosis.utils"] = utils_stub
     utils_stub.append_zero = lambda x: torch.cat([x, x.new_zeros([1])])
-    utils_stub.append_dims = lambda x, n: x[(...,) + (None,) * (n - x.ndim)]
+    def _append_dims(x, n):
+        import torch as _t
+
+        if not hasattr(x, "ndim"):
+            x = _t.tensor(x)
+        return x[(...,) + (None,) * (n - x.ndim)]
+
+    utils_stub.append_dims = _append_dims
 
     for name, rel in [
         ("neurosis.modules.diffusion.util", "modules/diffusion/util.py"),
@@ -75,6 +84,12 @@ def _toy_denoise_np(x, sigma):
         ("euler", EulerEDMSampler, "EulerEDMSampler", {}),
         ("heun", HeunEDMSampler, "HeunEDMSampler", {}),
         ("dpmpp2m", DPMPP2MSampler, "DPMPP2MSampler", {}),
+        # deterministic at eta=0: golden-tests the full ancestral math
+        # (sigma_down split, dpm++2s midpoint) minus only the noise draw
+        ("euler_ancestral", EulerAncestralSampler, "EulerAncestralSampler", {"eta": 0.0}),
+        ("dpmpp2s_ancestral", DPMPP2SAncestralSampler, "DPMPP2SAncestralSampler", {"eta": 0.0}),
+        # LMS is deterministic (scipy quadrature coefficients)
+        ("lms", LinearMultistepSampler, "LinearMultistepSampler", {"order": 4}),
     ],
 )
 def test_sampler_parity(name, ours_cls, ref_name, kwargs):
@@ -99,7 +114,8 @@ def test_sampler_parity(name, ours_cls, ref_name, kwargs):
     rd = ref_discret.LegacyDDPMDiscretization()
     ref = getattr(ref_mod, ref_name)(discretization=rd, num_steps=steps, device="cpu", **kwargs)
 
-    def ref_denoiser(x, sigma, cond, **kw):
+    def ref_denoiser(x, sigma, cond, *args, **kw):
+        # some reference samplers pass an extra output-mode positional ("D")
         return torch.from_numpy(_toy_denoise_np(x.numpy(), sigma.numpy()))
 
     with torch.no_grad():

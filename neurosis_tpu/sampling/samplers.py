@@ -22,7 +22,14 @@ from neurosis_tpu.diffusion.discretization import Discretization, RectifiedFlowC
 from neurosis_tpu.utils import append_dims
 
 from .guidance import Guider, IdentityGuider
-from .utils import get_ancestral_step, linear_multistep_coeff, to_d, to_neg_log_sigma, to_sigma
+from .utils import (
+    default_noise_sampler,
+    get_ancestral_step,
+    linear_multistep_coeff,
+    to_d,
+    to_neg_log_sigma,
+    to_sigma,
+)
 
 DenoiseFn = Callable[[jax.Array, jax.Array, dict], jax.Array]
 
@@ -147,10 +154,14 @@ class HeunEDMSampler(EDMSampler):
 
 
 class AncestralSampler(BaseDiffusionSampler):
-    def __init__(self, eta: float = 1.0, s_noise: float = 1.0, **kwargs):
+    def __init__(self, eta: float = 1.0, s_noise: float = 1.0, noise_sampler=None, **kwargs):
+        """noise_sampler(key, shape, dtype) → noise; default = gaussian
+        (sampling/utils.py:11 default_noise_sampler — injectable for custom
+        noise schedules and exact-noise parity tests)."""
         super().__init__(**kwargs)
         self.eta = eta
         self.s_noise = s_noise
+        self.noise_sampler = noise_sampler or default_noise_sampler
 
     def ancestral_euler_step(self, x, denoised, sigma, sigma_down):
         d = to_d(x, sigma, denoised)
@@ -158,7 +169,7 @@ class AncestralSampler(BaseDiffusionSampler):
         return x + dt * d
 
     def ancestral_step(self, x, key, sigma, next_sigma, sigma_up):
-        noise = jax.random.normal(key, x.shape, x.dtype)
+        noise = self.noise_sampler(key, x.shape, x.dtype)
         return jnp.where(
             append_dims(next_sigma, x.ndim) > 0.0,
             x + noise * self.s_noise * append_dims(sigma_up, x.ndim),

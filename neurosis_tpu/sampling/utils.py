@@ -25,6 +25,12 @@ def to_sigma(neg_log_sigma: jax.Array) -> jax.Array:
     return jnp.exp(-neg_log_sigma)
 
 
+def default_noise_sampler(key: jax.Array, shape, dtype=None) -> jax.Array:
+    """Gaussian noise source for ancestral samplers (sampling/utils.py:11):
+    the JAX analog takes (key, shape, dtype) instead of closing over x."""
+    return jax.random.normal(key, shape, dtype or jnp.float32)
+
+
 def get_ancestral_step(sigma_from: jax.Array, sigma_to: jax.Array, eta: float = 1.0):
     """(sigma_down, sigma_up) for ancestral steps (utils.py:33-43)."""
     if not eta:

@@ -154,3 +154,41 @@ def test_euler_ancestral_runs():
     x0 = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 3).astype(np.float32))
     out = ours(our_denoiser, x0, cond={}, uc=None, rng=jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_euler_ancestral_exact_noise_parity(monkeypatch):
+    """Full ancestral path at eta=1 with an injected deterministic noise
+    source on both sides (noise_sampler / torch.randn_like patch)."""
+    import torch
+
+    ref_mod = _load_ref_sampling()
+    import sys as _sys
+
+    ref_discret = _sys.modules["neurosis.modules.diffusion.discretization"]
+    steps = 8
+    x0 = np.random.RandomState(1).randn(2, 4, 4, 3).astype(np.float32)
+
+    monkeypatch.setattr(torch, "randn_like", lambda t: torch.full_like(t, 0.5))
+    rd = ref_discret.LegacyDDPMDiscretization()
+    ref = ref_mod.EulerAncestralSampler(discretization=rd, num_steps=steps, device="cpu", eta=1.0)
+
+    def ref_denoiser(x, sigma, cond, *args, **kw):
+        return torch.from_numpy(_toy_denoise_np(x.numpy(), sigma.numpy()))
+
+    with torch.no_grad():
+        ref_out = ref(ref_denoiser, torch.from_numpy(x0.copy()), cond={}, uc=None).numpy()
+
+    ours = EulerAncestralSampler(
+        discretization=LegacyDDPMDiscretization(),
+        guider=IdentityGuider(),
+        num_steps=steps,
+        eta=1.0,
+        noise_sampler=lambda key, shape, dtype=None: jnp.full(shape, 0.5, dtype or jnp.float32),
+    )
+
+    def our_denoiser(x, sigma, cond):
+        s = sigma.reshape((-1,) + (1,) * (x.ndim - 1))
+        return x / (1.0 + s)
+
+    out = ours(our_denoiser, jnp.asarray(x0), cond={}, uc=None)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-3, rtol=2e-3)

@@ -36,11 +36,21 @@ def main() -> None:
 
     import jax
 
+    # the 'axon' TPU plugin ignores the JAX_PLATFORMS env var; honor an
+    # explicit cpu request via the config knob instead
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     mode = os.environ.get("NEUROSIS_BENCH_MODE", "sdxl")
     if mode == "vae":
         return vae_encode_bench()
     if mode == "pipeline":
         return pipeline_bench()
+    if mode == "sample":
+        return sample_bench()
 
     # persistent compile cache: repeated bench runs skip the (slow) compile
     cache_dir = os.path.expanduser("~/.cache/neurosis_tpu_xla")
@@ -244,6 +254,105 @@ def main() -> None:
     )
 
 
+def sample_bench() -> None:
+    """Inference: SDXL-class 1024px CFG sampling (Euler, 30 steps) imgs/min.
+
+    The whole sampling loop is ONE jitted lax.fori_loop program (CFG batch
+    doubling inside), so per-step dispatch overhead is zero — the TPU-native
+    analog of the reference's eval-mode `sample()` path (models/diffusion.py:
+    298-313 + sampling.py EulerEDMSampler)."""
+    import os
+
+    import jax
+
+    # the 'axon' TPU plugin ignores the JAX_PLATFORMS env var; honor an
+    # explicit cpu request via the config knob instead
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    cache_dir = os.path.expanduser("~/.cache/neurosis_tpu_xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    import jax.numpy as jnp
+
+    from neurosis_tpu.diffusion import Denoiser, EpsPreconditioning, LegacyDDPMDiscretization
+    from neurosis_tpu.models.unet import UNetModel
+    from neurosis_tpu.sampling import EulerEDMSampler, VanillaCFG
+
+    on_tpu = jax.default_backend() == "tpu"
+    batch, res, steps = (1, 128, 30) if on_tpu else (1, 16, 4)
+    mc, ctx_dim, adm = (320, 2048, 2816) if on_tpu else (32, 64, 128)
+    model = UNetModel(
+        in_channels=4, model_channels=mc, out_channels=4, num_res_blocks=2,
+        attention_resolutions=[4, 2], channel_mult=[1, 2, 4], num_head_channels=64 if on_tpu else 16,
+        transformer_depth=[1, 2, 10] if on_tpu else [1, 1, 1], context_dim=ctx_dim,
+        num_classes="sequential", adm_in_channels=adm,
+        use_linear_in_transformer=True, use_checkpoint=False, dtype=jnp.bfloat16,
+    )
+    ctx = jnp.zeros((batch, 77, ctx_dim), jnp.bfloat16)
+    y = jnp.zeros((batch, adm), jnp.bfloat16)
+    x = jnp.zeros((batch, res, res, 4), jnp.bfloat16)
+    t = jnp.ones((batch,), jnp.float32)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x, t, ctx, y=y))["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def init_params(key):
+        ks = jax.random.split(key, len(leaves))
+        return jax.tree_util.tree_unflatten(
+            treedef, [jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02 for k, s in zip(ks, leaves)]
+        )
+
+    params = init_params(jax.random.PRNGKey(0))
+    denoiser = Denoiser(preconditioning=EpsPreconditioning())
+    sampler = EulerEDMSampler(
+        discretization=LegacyDDPMDiscretization(), guider=VanillaCFG(scale=7.0), num_steps=steps
+    )
+
+    cond = {"crossattn": ctx, "vector": y}
+    uc = {"crossattn": jnp.zeros_like(ctx), "vector": jnp.zeros_like(y)}
+
+    # NOT wrapped in jax.jit: the sampler compiles its own fori_loop program
+    # (host-side sigma-table preprocessing happens once outside the trace)
+    def run(p, noise):
+        def net(xin, sigma, c):
+            return denoiser(
+                lambda z, tt, cc: model.apply(
+                    {"params": p}, z, tt, cc.get("crossattn"), y=cc.get("vector")
+                ),
+                xin, sigma, c,
+            )
+
+        return sampler(net, noise, cond, uc=uc)
+
+    noise = jax.random.normal(jax.random.PRNGKey(1), x.shape, x.dtype)
+    print("bench[sample]: compiling sampling loop...", file=sys.stderr, flush=True)
+    out = run(params, noise)
+    _ = float(jnp.sum(out.astype(jnp.float32)))  # warmup + barrier
+    start = time.perf_counter()
+    out = run(params, noise)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    dt = time.perf_counter() - start
+    imgs_per_min = 60.0 * batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "sdxl_1024px_sample_imgs_per_min" if on_tpu else "sample_tiny_imgs_per_min_cpu",
+                "value": round(imgs_per_min, 2),
+                "unit": "imgs/min",
+                "vs_baseline": 0.0,
+                "detail": {"batch": batch, "latent_res": res, "steps": steps, "cfg": 7.0,
+                           "sec_per_image": round(dt / batch, 3)},
+            }
+        )
+    )
+
+
 def pipeline_bench() -> None:
     """Input-pipeline throughput: decode+bucket+collate imgs/s with process
     workers (no device work). Proves the host can feed 2 steps/s x batch 2 x 8
@@ -330,6 +439,14 @@ def vae_encode_bench() -> None:
     import os
 
     import jax
+
+    # the 'axon' TPU plugin ignores the JAX_PLATFORMS env var; honor an
+    # explicit cpu request via the config knob instead
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     cache_dir = os.path.expanduser("~/.cache/neurosis_tpu_xla")
     os.makedirs(cache_dir, exist_ok=True)

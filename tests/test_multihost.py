@@ -78,9 +78,15 @@ def test_two_process_trainer_fit(tmp_path, fsdp):
         for r in (0, 1)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=480)
-        outs.append(out)
+    try:
+        for p in procs:
+            # 1-core box under full-suite load: 2 jax imports + compile
+            out, _ = p.communicate(timeout=1200)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
 

@@ -84,7 +84,10 @@ def ring_attention_sharded(
 ) -> jax.Array:
     """Convenience wrapper: shard_map ring attention over `mesh[axis_name]`
     for full [B, H, S, D] arrays (S divisible by the axis size)."""
-    from jax.experimental.shard_map import shard_map
+    try:  # jax >= 0.8 moved shard_map out of experimental
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     spec = P(None, None, axis_name, None)

@@ -84,18 +84,25 @@ def ring_attention_sharded(
 ) -> jax.Array:
     """Convenience wrapper: shard_map ring attention over `mesh[axis_name]`
     for full [B, H, S, D] arrays (S divisible by the axis size)."""
-    try:  # jax >= 0.8 moved shard_map out of experimental
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     spec = P(None, None, axis_name, None)
-    fn = shard_map(
-        partial(ring_self_attention, axis_name=axis_name),
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=spec,
-        check_rep=False,
-    )
+    try:  # jax >= 0.8: jax.shard_map (check_vma replaced check_rep)
+        fn = jax.shard_map(
+            partial(ring_self_attention, axis_name=axis_name),
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_vma=False,
+        )
+    except (AttributeError, TypeError):  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+        fn = _sm(
+            partial(ring_self_attention, axis_name=axis_name),
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_rep=False,
+        )
     return fn(q, k, v)

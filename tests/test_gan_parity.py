@@ -114,3 +114,135 @@ def test_disc_loss_value_parity():
         torch.from_numpy(real), torch.from_numpy(fake), global_step=5
     )
     assert float(ref_gated) == 0.0  # documents the contract our disc_start mirrors
+
+
+def test_general_lpips_disc_loss_component_parity():
+    """GeneralLPIPSWithDiscriminator vs reference (eval mode, shared D
+    weights, perceptual_weight=0): rec/g/disc loss components, logits and
+    logvar match. The reference's idx-0 *total* adds the unreduced
+    p_rec_loss tensor on top of the already-summed NLL
+    (discriminator_loss.py:281 `loss = p_rec_loss + g_weighted +
+    nll_weighted`) — a broadcasty upstream quirk we deliberately do not
+    reproduce (ours is the sgm-canonical nll + d_weight*disc_factor*g), so
+    parity is asserted on the components."""
+    import sys
+    import types
+
+    import torch
+
+    _load_ref_patchgan()  # installs layers/types modules
+    from _reference_loader import _load
+
+    # stub the viz-only imports (torchvision.utils.make_grid, used only in
+    # the logit-visualization path we don't call)
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.make_grid = lambda *a, **k: a[0]
+        tv.utils = tvu
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tvu
+        _tv_added = True
+    else:
+        _tv_added = False
+
+    # LPIPS import chain (perceptual_weight=0 so it is never exercised, but
+    # the constructor builds it): stub neurosis.modules.losses.perceptual
+    percep_stub = types.ModuleType("neurosis.modules.losses.perceptual")
+
+    class _NullLPIPS(torch.nn.Module):
+        def eval(self):
+            return self
+
+        def forward(self, a, b):
+            return torch.zeros(a.shape[0])
+
+    percep_stub.LPIPS = _NullLPIPS
+    prev_percep = sys.modules.get("neurosis.modules.losses.perceptual")
+    sys.modules["neurosis.modules.losses.perceptual"] = percep_stub
+    # functions + patchgan package paths for the module's imports
+    if "neurosis.modules.losses.functions" not in sys.modules:
+        sys.modules["neurosis.modules.losses.functions"] = _load(
+            "neurosis.modules.losses.functions", "modules/losses/functions.py"
+        )
+    pg_pkg = types.ModuleType("neurosis.modules.losses.patchgan")
+    ref_pg = sys.modules["ref_patchgan_model"]
+    pg_pkg.NLayerDiscriminator = ref_pg.NLayerDiscriminator
+    pg_pkg.weights_init = ref_pg.weights_init
+    sys.modules.setdefault("neurosis.modules.losses.patchgan", pg_pkg)
+
+    try:
+        ref_mod = _load(
+            "ref_general_disc_loss", "modules/autoencoding/losses/discriminator_loss.py"
+        )
+
+        torch.manual_seed(3)
+        ref = ref_mod.GeneralLPIPSWithDiscriminator(
+            disc_start=2, perceptual_weight=0.0, disc_num_layers=2, rec_loss_type="l2",
+            logvar_init=0.3, disc_factor=0.9,
+        )
+        ref.eval()
+
+        from neurosis_tpu.checkpoint.torch_import import import_torch_params
+        from neurosis_tpu.losses.discriminator_loss import GeneralLPIPSWithDiscriminator
+
+        ours = GeneralLPIPSWithDiscriminator(
+            disc_start=2, perceptual_weight=0.0, disc_num_layers=2, rec_loss_type="l2",
+            logvar_init=0.3, disc_factor=0.9,
+        )
+        rng = np.random.RandomState(7)
+        x = rng.randn(2, 24, 24, 3).astype(np.float32) * 0.5
+        rec = x + rng.randn(2, 24, 24, 3).astype(np.float32) * 0.1
+
+        variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(rec), jnp.asarray(0))
+        state = {
+            k: v for k, v in ref.state_dict().items()
+            if "running" not in k and "num_batches" not in k and not k.startswith("perceptual")
+        }
+        params, missing, unexpected = import_torch_params(variables["params"], state)
+        assert not missing, missing
+
+        x_t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        rec_t = torch.from_numpy(rec.transpose(0, 3, 1, 2))
+
+        for step in (0, 5):  # before/after disc_start (eval: gate is open)
+            with torch.no_grad():
+                # weights=1.0: the reference's `if weights > 0` crashes on the
+                # None default (another upstream latent bug)
+                _, ref_log0 = ref(
+                    x_t, rec_t, global_step=step, optimizer_idx=0, weights=torch.tensor(1.0)
+                )
+                ref_d, ref_log1 = ref(x_t, rec_t, global_step=step, optimizer_idx=1)
+
+            av = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+            (loss0, log0) = ours.apply(
+                av, jnp.asarray(x), jnp.asarray(rec), jnp.asarray(step), optimizer_idx=0, train=False
+            )
+            (d_loss, log1) = ours.apply(
+                av, jnp.asarray(x), jnp.asarray(rec), jnp.asarray(step), optimizer_idx=1, train=False
+            )
+
+            np.testing.assert_allclose(
+                float(log0["train/loss/rec"]), float(ref_log0["train/loss/l2"]), rtol=1e-4
+            )
+            np.testing.assert_allclose(
+                float(log0["train/loss/g"]), float(ref_log0["train/loss/g"]), rtol=1e-3, atol=1e-5
+            )
+            np.testing.assert_allclose(
+                float(log0["train/scalars/logvar"]), float(ref_log0["train/scalars/logvar"]), rtol=1e-6
+            )
+            np.testing.assert_allclose(float(d_loss), float(ref_d), rtol=1e-3, atol=1e-6)
+            np.testing.assert_allclose(
+                float(log1["train/logits/real"]), float(ref_log1["train/logits/real"]), rtol=1e-3, atol=1e-5
+            )
+            np.testing.assert_allclose(
+                float(log1["train/logits/fake"]), float(ref_log1["train/logits/fake"]), rtol=1e-3, atol=1e-5
+            )
+    finally:
+        if prev_percep is None:
+            sys.modules.pop("neurosis.modules.losses.perceptual", None)
+        else:
+            sys.modules["neurosis.modules.losses.perceptual"] = prev_percep
+        if _tv_added:
+            sys.modules.pop("torchvision", None)
+            sys.modules.pop("torchvision.utils", None)

@@ -13,7 +13,6 @@ scalar in — the module itself stays a pure function.
 
 from __future__ import annotations
 
-from sys import maxsize
 from typing import Any, Mapping, Optional, Tuple
 
 import jax
@@ -49,7 +48,9 @@ class GeneralLPIPSWithDiscriminator(nn.Module):
             self.perceptual_loss = LPIPS(pnet_type=self.lpips_type, name="perceptual_loss")
 
     def _disc_start(self) -> int:
-        return self.disc_start if self.disc_start > 0 else maxsize
+        # int32-safe 'never' sentinel: sys.maxsize overflows the int32
+        # global_step comparison under jit
+        return self.disc_start if self.disc_start > 0 else 2**31 - 1
 
     # probe methods for the engine's adaptive-d_weight vjps (call via
     # .apply(..., method="nll_scalar"/"g_scalar"))

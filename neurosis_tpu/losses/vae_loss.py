@@ -8,7 +8,6 @@ equivalent lives in the logging layer).
 
 from __future__ import annotations
 
-from sys import maxsize
 from typing import Optional
 
 import jax
@@ -82,7 +81,9 @@ class AutoencoderLPIPSWithDiscr(nn.Module):
             self.perceptual_loss = LPIPS(pnet_type=self.lpips_type, name="perceptual_loss")
 
     def _disc_start(self) -> int:
-        return self.disc_start if self.disc_start > 0 else maxsize
+        # int32-safe 'never' sentinel: sys.maxsize overflows the int32
+        # global_step comparison under jit
+        return self.disc_start if self.disc_start > 0 else 2**31 - 1
 
     def __call__(
         self,

@@ -246,3 +246,136 @@ def test_general_lpips_disc_loss_component_parity():
         if _tv_added:
             sys.modules.pop("torchvision", None)
             sys.modules.pop("torchvision.utils", None)
+
+
+def test_taming_autoencoder_loss_parity():
+    """AutoencoderLPIPSWithDiscr vs reference (eval mode, shared D weights,
+    perceptual_weight=0, r1=0): generator total + components and the
+    discriminator loss match.
+
+    Tested at disc_start=-1: with disc_start>0 the REFERENCE d_loss is
+    always zero — vae_lpips_discr.py:184 builds HingeDiscLoss with
+    start_step=disc_start but forward (line 373) never passes global_step,
+    so the inner gate compares the default -1 < start_step forever (third
+    upstream latent bug found by these parity tests; our engine gates once
+    on disc_start and trains the discriminator as intended)."""
+    import sys
+    import types
+
+    import torch
+
+    _load_ref_patchgan()
+    from _reference_loader import _load
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.make_grid = lambda *a, **k: a[0]
+        tv.utils = tvu
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tvu
+        tv_added = True
+    else:
+        tv_added = False
+
+    percep_stub = types.ModuleType("neurosis.modules.losses.perceptual")
+
+    class _NullLPIPS(torch.nn.Module):
+        def eval(self):
+            return self
+
+        def forward(self, a, b):
+            return torch.zeros(a.shape[0])
+
+    percep_stub.LPIPS = _NullLPIPS
+    prev_percep = sys.modules.get("neurosis.modules.losses.perceptual")
+    sys.modules["neurosis.modules.losses.perceptual"] = percep_stub
+    if "neurosis.modules.losses.functions" not in sys.modules:
+        sys.modules["neurosis.modules.losses.functions"] = _load(
+            "neurosis.modules.losses.functions", "modules/losses/functions.py"
+        )
+    pg_pkg = types.ModuleType("neurosis.modules.losses.patchgan")
+    ref_pg = sys.modules["ref_patchgan_model"]
+    pg_pkg.NLayerDiscriminator = ref_pg.NLayerDiscriminator
+    pg_pkg.weights_init = ref_pg.weights_init
+    sys.modules.setdefault("neurosis.modules.losses.patchgan", pg_pkg)
+    # EMATracker import
+    if "neurosis.trainer.util" not in sys.modules:
+        tu = types.ModuleType("neurosis.trainer.util")
+
+        class _EMA:
+            def __init__(self, *a, **k):
+                self.value = 0.0
+
+            def update(self, v):
+                self.value = float(v)
+                return self.value
+
+        tu.EMATracker = _EMA
+        sys.modules["neurosis.trainer.util"] = tu
+
+    try:
+        ref_mod = _load("ref_taming_loss", "modules/autoencoding/losses/vae_lpips_discr.py")
+
+        torch.manual_seed(5)
+        ref = ref_mod.AutoencoderLPIPSWithDiscr(
+            recon_type="l1", perceptual_weight=0.0, disc_start=-1, disc_factor=0.8,
+            disc_kwargs={"n_layers": 2, "ndf": 16},
+        )
+        ref.eval()
+
+        from neurosis_tpu.checkpoint.torch_import import import_torch_params
+        from neurosis_tpu.losses.vae_loss import AutoencoderLPIPSWithDiscr
+
+        ours = AutoencoderLPIPSWithDiscr(
+            recon_type="l1", perceptual_weight=0.0, disc_start=-1, disc_factor=0.8,
+            disc_n_layers=2, disc_ndf=16,
+        )
+        rng = np.random.RandomState(11)
+        x = rng.randn(2, 24, 24, 3).astype(np.float32) * 0.4
+        rec = x + rng.randn(2, 24, 24, 3).astype(np.float32) * 0.1
+
+        variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(rec), jnp.asarray(0))
+        state = {
+            k: v for k, v in ref.state_dict().items()
+            if "running" not in k and "num_batches" not in k and not k.startswith("perceptual")
+        }
+        params, missing, _ = import_torch_params(variables["params"], state)
+        assert not missing, missing
+
+        x_t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        rec_t = torch.from_numpy(rec.transpose(0, 3, 1, 2))
+        for step in (0, 5):
+            # idx-0 must run with grad enabled: calc_r1_penalty always calls
+            # torch.autograd.grad even at disc_lambda_r1=0
+            ref_loss0, ref_log0 = ref(x_t.clone(), rec_t, global_step=step, optimizer_idx=0)
+            ref_loss0 = ref_loss0.detach()
+            with torch.no_grad():
+                ref_d, ref_log1 = ref(x_t, rec_t, global_step=step, optimizer_idx=1)
+
+            av = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+            loss0, log0 = ours.apply(
+                av, jnp.asarray(x), jnp.asarray(rec), jnp.asarray(step), optimizer_idx=0, train=False
+            )
+            d_loss, log1 = ours.apply(
+                av, jnp.asarray(x), jnp.asarray(rec), jnp.asarray(step), optimizer_idx=1, train=False
+            )
+
+            np.testing.assert_allclose(
+                float(jnp.mean(loss0)), float(ref_loss0.mean()), rtol=1e-3, atol=1e-5
+            )
+            np.testing.assert_allclose(
+                float(log0["train/loss/rec"]), float(ref_log0["train/loss/rec"]), rtol=1e-4
+            )
+            np.testing.assert_allclose(
+                float(log0["train/loss/g"]), float(ref_log0["train/loss/g"]), rtol=1e-3, atol=1e-5
+            )
+            np.testing.assert_allclose(float(jnp.mean(d_loss)), float(ref_d), rtol=1e-3, atol=1e-6)
+    finally:
+        if prev_percep is None:
+            sys.modules.pop("neurosis.modules.losses.perceptual", None)
+        else:
+            sys.modules["neurosis.modules.losses.perceptual"] = prev_percep
+        if tv_added:
+            sys.modules.pop("torchvision", None)
+            sys.modules.pop("torchvision.utils", None)

@@ -317,8 +317,11 @@ def sample_bench() -> None:
     cond = {"crossattn": ctx, "vector": y}
     uc = {"crossattn": jnp.zeros_like(ctx), "vector": jnp.zeros_like(y)}
 
-    # NOT wrapped in jax.jit: the sampler compiles its own fori_loop program
-    # (host-side sigma-table preprocessing happens once outside the trace)
+    # outer jit: the sigma-table math is host-side numpy (Discretization.table)
+    # so the WHOLE sampling call traces once and is cached — without this,
+    # every call re-traces the UNet (~1 min of host time per image on a slow
+    # host while the chip idles)
+    @jax.jit
     def run(p, noise):
         def net(xin, sigma, c):
             return denoiser(

@@ -55,7 +55,10 @@ class Discretization:
 
     do_append_zero: bool = True
 
-    def __call__(self, n: int, do_append_zero: bool | None = None, flip: bool = False) -> Array:
+    def table(self, n: int, flip: bool = False) -> np.ndarray:
+        """Host-side (numpy) sigma table — pure config math. Samplers use this
+        for schedule decisions (churn gammas, LMS coefficients) so the whole
+        sampling loop stays traceable under an outer jax.jit."""
         sigmas = self.get_sigmas(n)
         # The reference's __call__ accepts a do_append_zero arg but only honors the
         # constructor flag (discretization.py:22-35); we mirror that contract.
@@ -63,7 +66,10 @@ class Discretization:
             sigmas = np.concatenate([sigmas, np.zeros((1,), dtype=sigmas.dtype)])
         if flip:
             sigmas = sigmas[::-1]
-        return jnp.asarray(np.ascontiguousarray(sigmas), dtype=jnp.float32)
+        return np.ascontiguousarray(sigmas).astype(np.float32)
+
+    def __call__(self, n: int, do_append_zero: bool | None = None, flip: bool = False) -> Array:
+        return jnp.asarray(self.table(n, flip=flip))
 
     def get_sigmas(self, n: int) -> np.ndarray:
         raise NotImplementedError

@@ -57,13 +57,20 @@ class BaseDiffusionSampler:
         num_steps = num_steps if num_steps is not None else self.num_steps
         if num_steps is None:
             raise ValueError("Step count must be set at init or call time!")
-        sigmas = self.discretization(num_steps)
+        # host-side numpy table: schedule math (churn gammas, LMS coeffs,
+        # the initial scale) stays concrete even under an outer jax.jit, so
+        # a caller can jit the WHOLE sampling call once instead of paying a
+        # full re-trace per invocation
+        self._sigmas_np = self.discretization.table(num_steps)
+        sigmas = jnp.asarray(self._sigmas_np)
         uc = uc if uc is not None else cond
         if self._comfy_rf:
-            x = x * sigmas[0]
+            x = x * float(self._sigmas_np[0])
         else:
-            x = x * jnp.sqrt(1.0 + sigmas[0] ** 2)
-        return x, sigmas, cond, uc
+            x = x * float(np.sqrt(1.0 + self._sigmas_np[0] ** 2))
+        # fp32 carry: the per-step sigma math runs fp32 regardless of the
+        # latent dtype (the network input is cast to its own dtype by c_in)
+        return x.astype(jnp.float32), sigmas, cond, uc
 
     def denoise(self, x: jax.Array, denoiser: DenoiseFn, sigma: jax.Array, cond: dict, uc: dict):
         xin, sin, cin = self.guider.prepare_inputs(x, sigma, cond, uc)
@@ -110,11 +117,11 @@ class EDMSampler(BaseDiffusionSampler):
         n = len(sigmas) - 1
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         s_in = self.s_in(x)
-        # gammas are static per step
+        # gammas are static per step (from the host-side table)
         gammas = jnp.asarray(
             [
                 min(self.s_churn / n, 2**0.5 - 1) if self.s_tmin <= float(s) <= self.s_tmax else 0.0
-                for s in np.asarray(sigmas[:-1])
+                for s in self._sigmas_np[:-1]
             ],
             x.dtype,
         )
@@ -286,7 +293,7 @@ class LinearMultistepSampler(BaseDiffusionSampler):
         x, sigmas, cond, uc = self.prepare(x, cond, uc, num_steps)
         n = len(sigmas) - 1
         s_in = self.s_in(x)
-        sigmas_np = np.asarray(sigmas)
+        sigmas_np = self._sigmas_np  # host table (outer-jit safe)
 
         ds = []
         for i in range(n):

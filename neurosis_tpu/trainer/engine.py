@@ -245,10 +245,24 @@ class DiffusionEngine:
         shape: tuple,
         num_steps: Optional[int] = None,
     ) -> jax.Array:
-        randn = jax.random.normal(rng, shape)
         if self.sampler is None:
             raise ValueError("no sampler configured")
-        return self.sampler(self.denoiser_fn(params), randn, cond, uc, num_steps=num_steps)
+        # cache one jitted sampling program per (shape, num_steps): the σ-table
+        # math is host-side numpy, so the whole CFG loop traces once — repeat
+        # image logs then skip the (expensive) UNet re-trace entirely
+        cache = getattr(self, "_sample_cache", None)
+        if cache is None:
+            cache = {}
+            self._sample_cache = cache
+        key = (tuple(shape), num_steps)
+        if key not in cache:
+
+            def _run(params, randn, cond, uc):
+                return self.sampler(self.denoiser_fn(params), randn, cond, uc, num_steps=num_steps)
+
+            cache[key] = jax.jit(_run)
+        randn = jax.random.normal(rng, shape)
+        return cache[key](params, randn, cond, uc)
 
     def log_images(
         self,

@@ -272,8 +272,7 @@ def _populate():
         "neurosis.schedulers.CosineWarmupSchedule": schedulers.cosine_warmup_schedule,
         "neurosis.schedulers.CosineWarmupStagedSchedule": schedulers.cosine_warmup_schedule_staged,
         "neurosis.schedulers.LinearWarmupSchedule": schedulers.linear_warmup_schedule,
-        # deprecated upstream variant — same schedule family (cosine.py:114)
-        "neurosis.schedulers.LegacyCosineAnnealingWarmupRestarts": schedulers.cosine_annealing_warmup_restarts,
+        "neurosis.schedulers.LegacyCosineAnnealingWarmupRestarts": schedulers.legacy_cosine_annealing_warmup_restarts,
     }
     REGISTRY.update({k: v for k, v in mapping.items() if k not in REGISTRY})
 

@@ -12,6 +12,7 @@ from .schedules import (
     cosine_with_warmup,
     cosine_with_hard_restarts,
     lambda_linear_scheduler,
+    legacy_cosine_annealing_warmup_restarts,
     lambda_warmup_cosine_scheduler2,
     linear_warmup_schedule,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "cosine_with_warmup",
     "cosine_with_hard_restarts",
     "lambda_linear_scheduler",
+    "legacy_cosine_annealing_warmup_restarts",
     "lambda_warmup_cosine_scheduler2",
     "linear_warmup_schedule",
 ]

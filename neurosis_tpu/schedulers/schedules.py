@@ -160,3 +160,35 @@ def cosine_decay_with_warmup(
         return lr_min + 0.5 * (lr_max - lr_min) * (1 + math.cos(t * math.pi))
 
     return f
+
+
+def legacy_cosine_annealing_warmup_restarts(
+    first_cycle_steps: int,
+    cycle_mult: float = 1.0,
+    min_lr: float = 1e-6,
+    warm_up_steps: int = 0,
+    gamma: float = 0.9,
+    max_lr: float = 1.0,
+    **_,
+):
+    """LegacyCosineAnnealingWarmupRestarts (cosine.py:114-210) argument
+    surface. cycle_mult grows each cycle's length; lr scales by gamma per
+    cycle; the warmup is linear inside each cycle."""
+    import math as _math
+
+    def f(step):
+        n = float(step)
+        # walk cycles of geometrically growing length
+        cycle, start, length = 0, 0.0, float(first_cycle_steps)
+        while n >= start + length:
+            start += length
+            cycle += 1
+            length = float(first_cycle_steps) * (cycle_mult**cycle)
+        step_in_cycle = n - start
+        cur_max = max_lr * (gamma**cycle)
+        if warm_up_steps > 0 and step_in_cycle < warm_up_steps:
+            return min_lr + (cur_max - min_lr) * step_in_cycle / warm_up_steps
+        frac = (step_in_cycle - warm_up_steps) / max(length - warm_up_steps, 1.0)
+        return min_lr + 0.5 * (cur_max - min_lr) * (1.0 + _math.cos(_math.pi * frac))
+
+    return f

@@ -23,6 +23,29 @@ PEAK_FLOPS = {
 }
 
 
+SDXL_UNET_KW = dict(
+    in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
+    attention_resolutions=[4, 2], channel_mult=[1, 2, 4], num_head_channels=64,
+    transformer_depth=[1, 2, 10], context_dim=2048, num_classes="sequential",
+    adm_in_channels=2816, use_linear_in_transformer=True,
+)
+
+
+def _jax_with_cpu_honored():
+    """Import jax, honoring JAX_PLATFORMS=cpu via the config knob (the 'axon'
+    TPU plugin ignores the env var)."""
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    return jax
+
+
 def guess_peak(device) -> float:
     kind = getattr(device, "device_kind", "")
     for k, v in PEAK_FLOPS.items():
@@ -34,15 +57,7 @@ def guess_peak(device) -> float:
 def main() -> None:
     import os
 
-    import jax
-
-    # the 'axon' TPU plugin ignores the JAX_PLATFORMS env var; honor an
-    # explicit cpu request via the config knob instead
-    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+    jax = _jax_with_cpu_honored()
 
     mode = os.environ.get("NEUROSIS_BENCH_MODE", "sdxl")
     if mode == "vae":
@@ -86,18 +101,7 @@ def main() -> None:
         remat_policy = "dots_names"
 
     model = UNetModel(
-        in_channels=4,
-        model_channels=320,
-        out_channels=4,
-        num_res_blocks=2,
-        attention_resolutions=[4, 2],
-        channel_mult=[1, 2, 4],
-        num_head_channels=64,
-        transformer_depth=[1, 2, 10] if on_tpu else [1, 1, 1],
-        context_dim=2048,
-        num_classes="sequential",
-        adm_in_channels=2816,
-        use_linear_in_transformer=True,
+        **{**SDXL_UNET_KW, "transformer_depth": [1, 2, 10] if on_tpu else [1, 1, 1]},
         use_checkpoint=use_remat,
         remat_policy=remat_policy,
         dtype=jnp.bfloat16,
@@ -187,13 +191,7 @@ def main() -> None:
     if on_tpu:
         print("bench: compiling no-remat fwd for model-flops accounting...", file=sys.stderr, flush=True)
         try:
-            plain = UNetModel(
-                in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
-                attention_resolutions=[4, 2], channel_mult=[1, 2, 4], num_head_channels=64,
-                transformer_depth=[1, 2, 10], context_dim=2048, num_classes="sequential",
-                adm_in_channels=2816, use_linear_in_transformer=True,
-                use_checkpoint=False, dtype=jnp.bfloat16,
-            )
+            plain = UNetModel(**SDXL_UNET_KW, use_checkpoint=False, dtype=jnp.bfloat16)
             spec = jax.tree_util.tree_map(lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), shapes)
             fwd_compiled = (
                 jax.jit(lambda p, xin: plain.apply({"params": p}, xin, t, ctx, y=y, deterministic=True))
@@ -263,15 +261,7 @@ def sample_bench() -> None:
     298-313 + sampling.py EulerEDMSampler)."""
     import os
 
-    import jax
-
-    # the 'axon' TPU plugin ignores the JAX_PLATFORMS env var; honor an
-    # explicit cpu request via the config knob instead
-    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+    jax = _jax_with_cpu_honored()
 
     cache_dir = os.path.expanduser("~/.cache/neurosis_tpu_xla")
     os.makedirs(cache_dir, exist_ok=True)
@@ -288,11 +278,10 @@ def sample_bench() -> None:
     batch, res, steps = (1, 128, 30) if on_tpu else (1, 16, 4)
     mc, ctx_dim, adm = (320, 2048, 2816) if on_tpu else (32, 64, 128)
     model = UNetModel(
-        in_channels=4, model_channels=mc, out_channels=4, num_res_blocks=2,
-        attention_resolutions=[4, 2], channel_mult=[1, 2, 4], num_head_channels=64 if on_tpu else 16,
-        transformer_depth=[1, 2, 10] if on_tpu else [1, 1, 1], context_dim=ctx_dim,
-        num_classes="sequential", adm_in_channels=adm,
-        use_linear_in_transformer=True, use_checkpoint=False, dtype=jnp.bfloat16,
+        **{**SDXL_UNET_KW, "model_channels": mc, "context_dim": ctx_dim,
+           "adm_in_channels": adm, "num_head_channels": 64 if on_tpu else 16,
+           "transformer_depth": [1, 2, 10] if on_tpu else [1, 1, 1]},
+        use_checkpoint=False, dtype=jnp.bfloat16,
     )
     ctx = jnp.zeros((batch, 77, ctx_dim), jnp.bfloat16)
     y = jnp.zeros((batch, adm), jnp.bfloat16)
@@ -441,15 +430,7 @@ def vae_encode_bench() -> None:
     """Secondary metric: SDXL VAE encode imgs/sec at 1024px (BASELINE.json:2)."""
     import os
 
-    import jax
-
-    # the 'axon' TPU plugin ignores the JAX_PLATFORMS env var; honor an
-    # explicit cpu request via the config knob instead
-    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+    jax = _jax_with_cpu_honored()
 
     cache_dir = os.path.expanduser("~/.cache/neurosis_tpu_xla")
     os.makedirs(cache_dir, exist_ok=True)

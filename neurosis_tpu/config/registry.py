@@ -29,41 +29,34 @@ def _hooks():
     return hooks
 
 
-def _cb_cls(name: str):
-    import neurosis_tpu.trainer.callbacks as cbs
+def _attr(module: str, name: str):
+    """Deferred attribute lookup (heavy modules import only when _populate
+    runs; mongo datasets additionally keep pymongo/s3fs lazy internally)."""
+    return getattr(importlib.import_module(module), name)
 
-    return getattr(cbs, name)
+
+def _cb_cls(name: str):
+    return _attr("neurosis_tpu.trainer.callbacks", name)
 
 
 def _engine_cls(name: str):
-    import neurosis_tpu.trainer.engine as eng
-
-    return getattr(eng, name)
+    return _attr("neurosis_tpu.trainer.engine", name)
 
 
 def _vae_engine_cls():
-    from neurosis_tpu.trainer.vae_engine import AutoencodingEngine
-
-    return AutoencodingEngine
+    return _attr("neurosis_tpu.trainer.vae_engine", "AutoencodingEngine")
 
 
 def _enc_misc(name: str):
-    import neurosis_tpu.modules.encoders.misc as misc
-
-    return getattr(misc, name)
+    return _attr("neurosis_tpu.modules.encoders.misc", name)
 
 
 def _ae_cls(name: str):
-    import neurosis_tpu.models.autoencoder as ae
-
-    return getattr(ae, name)
+    return _attr("neurosis_tpu.models.autoencoder", name)
 
 
 def _mongo_cls(name: str):
-    # mongo datasets import pymongo/s3fs lazily — the module itself is safe
-    import neurosis_tpu.data.mongo as mongo
-
-    return getattr(mongo, name)
+    return _attr("neurosis_tpu.data.mongo", name)
 
 
 def _populate():

@@ -15,7 +15,7 @@ from typing import Any, Generator, Optional, Sequence
 
 import numpy as np
 
-from .utils import clean_caption, collate_dict_stack, image_to_array, pil_crop_bucket, pil_crop_square
+from .utils import clean_caption, collate_dict_stack, cropped_sample_fields
 
 
 def _as_pil(image):
@@ -114,20 +114,9 @@ class HFDatasetAdapter:
     def __getitem__(self, index: int) -> dict:
         row = self.dataset[index]
         image = _as_pil(row[self.image_key])
-        resolution = image.size
-
-        if self.buckets is not None:
-            bucket = self.buckets[int(self._bucket_idx[index])]
-            image, crop = pil_crop_bucket(image, bucket, rng=self.rng)
-            target = bucket.size
-        else:
-            image, crop = pil_crop_square(image, self.resolution, rng=self.rng)
-            target = self.resolution
-
-        osize = (
-            (min(resolution[0], target[0]), min(resolution[1], target[1]))
-            if self.clamp_orig
-            else tuple(resolution)
+        bucket = self.buckets[int(self._bucket_idx[index])] if self.buckets is not None else None
+        arr, fields = cropped_sample_fields(
+            image, bucket=bucket, resolution=self.resolution, rng=self.rng, clamp_orig=self.clamp_orig
         )
         caption = row.get(self.caption_key, "") if hasattr(row, "get") else row[self.caption_key]
         caption = clean_caption(
@@ -139,13 +128,7 @@ class HFDatasetAdapter:
             word_sep=self.word_sep,
             rng=self.rng,
         )
-        return {
-            self.image_key: image_to_array(image),
-            self.caption_key: caption,
-            "original_size_as_tuple": osize,
-            "crop_coords_top_left": crop,
-            "target_size_as_tuple": target,
-        }
+        return {self.image_key: arr, self.caption_key: caption, **fields}
 
     # -- batches -------------------------------------------------------------
 

@@ -236,25 +236,13 @@ class MongoAspectDataset(BaseMongoDataset):
         return df
 
     def __getitem__(self, index: int) -> dict:
-        from .utils import pil_crop_bucket, image_to_array
+        from .utils import cropped_sample_fields
 
         row = self.samples.iloc[index]
         bucket = self.buckets[int(row.bucket_idx)]
         image = self._load_image(row[self.image_url_key])
-        resolution = image.size
-        image, crop = pil_crop_bucket(image, bucket, rng=self.rng)
-        osize = (
-            (min(resolution[0], bucket.width), min(resolution[1], bucket.height))
-            if self.clamp_orig
-            else tuple(resolution)
-        )
-        return {
-            self.image_key: image_to_array(image),
-            self.caption_key: str(row[self.caption_key]),
-            "original_size_as_tuple": osize,
-            "crop_coords_top_left": crop,
-            "target_size_as_tuple": bucket.size,
-        }
+        arr, fields = cropped_sample_fields(image, bucket=bucket, rng=self.rng, clamp_orig=self.clamp_orig)
+        return {self.image_key: arr, self.caption_key: str(row[self.caption_key]), **fields}
 
     def get_batch(self, indices: Sequence[int]) -> dict:
         from .utils import collate_dict_stack
@@ -317,23 +305,14 @@ class MongoSquareDataset(BaseMongoDataset):
         super().__init__(**kwargs)
 
     def __getitem__(self, index: int) -> dict:
-        from .utils import image_to_array, pil_crop_square
+        from .utils import cropped_sample_fields
 
         row = self.samples.iloc[index]
         image = self._load_image(row[self.image_url_key])
-        resolution = image.size
-        image, crop = pil_crop_square(image, self.resolution, rng=self.rng)
-        osize = (
-            (min(resolution[0], self.resolution[0]), min(resolution[1], self.resolution[1]))
-            if self.clamp_orig
-            else tuple(resolution)
+        arr, fields = cropped_sample_fields(
+            image, resolution=self.resolution, rng=self.rng, clamp_orig=self.clamp_orig
         )
-        sample = {
-            self.image_key: image_to_array(image),
-            "original_size_as_tuple": osize,
-            "crop_coords_top_left": crop,
-            "target_size_as_tuple": self.resolution,
-        }
+        sample = {self.image_key: arr, **fields}
         if self.caption_key is not None:
             sample[self.caption_key] = str(row[self.caption_key])
         return sample

@@ -194,3 +194,24 @@ def shuffled_chunk_batches(n: int, batch_size: int, rng: Optional[np.random.Gene
             yield [int(i) for i in order[b * batch_size : (b + 1) * batch_size]]
 
     return it()
+
+
+def cropped_sample_fields(image, bucket=None, resolution=None, rng=None, clamp_orig=True):
+    """Cover-resize + random-crop (aspect bucket or fixed square) and return
+    `(image_array, micro_cond_fields)` — the SDXL conditioning tuple shared by
+    the folder/mongo/HF datasets (original size optionally clamped to the
+    crop target, imagefolder/aspect.py:74-85 contract)."""
+    orig = image.size
+    if bucket is not None:
+        image, crop = pil_crop_bucket(image, bucket, rng=rng)
+        target = bucket.size
+    else:
+        resolution = (resolution, resolution) if isinstance(resolution, int) else tuple(resolution)
+        image, crop = pil_crop_square(image, resolution, rng=rng)
+        target = resolution
+    osize = (min(orig[0], target[0]), min(orig[1], target[1])) if clamp_orig else tuple(orig)
+    return image_to_array(image), {
+        "original_size_as_tuple": osize,
+        "crop_coords_top_left": crop,
+        "target_size_as_tuple": tuple(target),
+    }

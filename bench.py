@@ -84,10 +84,12 @@ def main() -> None:
     # b2: same wall-clock, fewer counted flops).
     batch, res = (2, 128) if on_tpu else (1, 16)
     batch = int(os.environ.get("NEUROSIS_BENCH_BATCH", batch))
-    # default policy dots_names: save every transformer matmul output AND the
-    # flash-attention residuals (o, lse); the bwd remat recomputes elementwise
-    # ops only. Measured b2 sweep: full 2.051 steps/s (0.439 MFU), names 2.061
-    # (0.4405), dots_names 2.115 (0.452) — and it still fits b2 HBM.
+    # default policy none,none,dots_names: levels 0/1 keep all activations
+    # (shallow stacks, big wins from zero recompute), the deep level-2
+    # transformer stack saves every matmul output + flash-attention residuals
+    # and recomputes elementwise only. Measured b2 sweep: full 2.051 steps/s
+    # (0.439 MFU) < names 2.061 (0.4405) < dots_names 2.115 (0.452) <
+    # none,none,dots_names 2.163 (0.4621) — all fit b2 HBM.
     remat_env = os.environ.get("NEUROSIS_BENCH_REMAT", "1")
     use_remat = remat_env not in ("0", "false")
     # policy pass-through: full | dots | dots_all | names | dots_names, or a
@@ -98,7 +100,7 @@ def main() -> None:
     elif remat_env in _policies:
         remat_policy = remat_env
     else:
-        remat_policy = "dots_names"
+        remat_policy = ("none", "none", "dots_names")
 
     model = UNetModel(
         **{**SDXL_UNET_KW, "transformer_depth": [1, 2, 10] if on_tpu else [1, 1, 1]},

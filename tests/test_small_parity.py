@@ -152,3 +152,36 @@ def test_wrap_caption_and_grid():
     imgs = [Image.new("RGB", (64, 64)) for _ in range(2)]
     g = caption_grid(imgs, captions=[long, "short"])
     assert g.width > 64 and g.height > 64
+
+
+def test_per_level_remat_policies_grads_match():
+    """Per-level remat tuples (the bench/prod default none,none,dots_names)
+    give identical grads to full remat."""
+    from neurosis_tpu.models.unet import UNetModel
+
+    def build(policy, ckpt=True):
+        return UNetModel(
+            in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+            attention_resolutions=[4, 2], channel_mult=[1, 2, 4], num_heads=2,
+            transformer_depth=[1, 1, 1], context_dim=32,
+            use_checkpoint=ckpt, remat_policy=policy,
+        )
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 4), jnp.float32)
+    t = jnp.ones((1,), jnp.float32)
+    ctx = jnp.asarray(np.random.RandomState(1).randn(1, 7, 32), jnp.float32)
+
+    ref_model = build("full")
+    params = ref_model.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+
+    def grads_of(model):
+        def loss(p):
+            return jnp.sum(model.apply({"params": p}, x, t, ctx) ** 2)
+
+        g = jax.grad(loss)(params)
+        return np.concatenate([np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(g)])
+
+    ref = grads_of(ref_model)
+    for policy in [("none", "none", "dots_names"), ("names", "dots_all", "full")]:
+        got = grads_of(build(policy))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

@@ -80,6 +80,7 @@ class BaseMongoDataset:
         fs_type: str = "s3",  # FilesystemType: any fsspec protocol (s3|file|http|...)
         fsspec_kwargs: Optional[dict] = None,
         path_prefix: Optional[str] = None,
+        data_transforms: Sequence[Any] = (),  # DataTransform chain (base.py:229-232)
     ):
         self.settings = settings or MongoSettings.from_env()
         self.image_url_key = image_url_key
@@ -91,6 +92,7 @@ class BaseMongoDataset:
         self.fs_type = str(fs_type)
         self.fsspec_kwargs = dict(fsspec_kwargs or {})
         self.path_prefix = path_prefix
+        self.data_transforms = list(data_transforms)
         self._client = None
         self._fs = None
         self._pid = os.getpid()
@@ -188,6 +190,13 @@ class BaseMongoDataset:
                 delay *= self.retry_backoff
         raise RuntimeError(f"failed to fetch {url} after {self.retries} attempts") from last
 
+    def _apply_transforms(self, sample: dict, row) -> dict:
+        """Injected DataTransform chain (base.py:229-232): each transform sees
+        the sample dict plus the raw metadata row."""
+        for tfm in self.data_transforms:
+            sample = tfm(sample, dict(row) if hasattr(row, "keys") else row)
+        return sample
+
     def _load_image(self, url: str):
         import io
 
@@ -242,7 +251,8 @@ class MongoAspectDataset(BaseMongoDataset):
         bucket = self.buckets[int(row.bucket_idx)]
         image = self._load_image(row[self.image_url_key])
         arr, fields = cropped_sample_fields(image, bucket=bucket, rng=self.rng, clamp_orig=self.clamp_orig)
-        return {self.image_key: arr, self.caption_key: str(row[self.caption_key]), **fields}
+        sample = {self.image_key: arr, self.caption_key: str(row[self.caption_key]), **fields}
+        return self._apply_transforms(sample, row)
 
     def get_batch(self, indices: Sequence[int]) -> dict:
         from .utils import collate_dict_stack
@@ -315,7 +325,7 @@ class MongoSquareDataset(BaseMongoDataset):
         sample = {self.image_key: arr, **fields}
         if self.caption_key is not None:
             sample[self.caption_key] = str(row[self.caption_key])
-        return sample
+        return self._apply_transforms(sample, row)
 
     def get_batch(self, indices: Sequence[int]) -> dict:
         from .utils import collate_dict_stack

@@ -327,3 +327,38 @@ def test_local_filesystem_and_path_prefix(tmp_path):
     ds.preload()
     sample = ds[0]
     assert sample["image"].shape == (32, 32, 3)
+
+
+def test_data_transform_chain(tmp_path):
+    """Injected DataTransform chain (base.py:229-232 + processing/transform.py):
+    transforms see the sample dict and the raw metadata row."""
+    from neurosis_tpu.data.mongo import MongoSquareDataset
+    from neurosis_tpu.data.processing import DataTransform
+
+    class AddSourceTag(DataTransform):
+        def __init__(self):
+            super().__init__("source_tag", ["caption"])
+
+        def __call__(self, sample, raw=None):
+            sample = dict(sample)
+            sample["caption"] = sample["caption"] + f", src:{raw['s3_url'].split('/')[-1]}"
+            return sample
+
+    class Brighten(DataTransform):
+        def __init__(self):
+            super().__init__("brighten", ["image"])
+
+        def __call__(self, sample, raw=None):
+            sample = dict(sample)
+            sample["image"] = np.clip(sample["image"] + 0.1, -1.0, 1.0)
+            return sample
+
+    ds = make_ds(
+        tmp_path, cls=MongoSquareDataset, n=2, batch_size=2, resolution=32,
+        data_transforms=[AddSourceTag(), Brighten()],
+    )
+    ds._fs = FakeFS({f"s3://bucket/img{i}.png": _png_bytes(seed=i) for i in range(2)})
+    ds.preload()
+    sample = ds[0]
+    assert sample["caption"].endswith("src:img0.png")
+    assert float(sample["image"].max()) <= 1.0

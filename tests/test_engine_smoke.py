@@ -125,3 +125,24 @@ def test_log_images_and_sampling():
     assert log["samples"].shape == (2, 16, 16, 3)
     assert np.isfinite(log["samples"]).all()
     assert log["conditioning"].shape[0] == 2
+
+
+def test_sampling_program_cached_across_log_calls():
+    """Repeat log_images must reuse the jitted sampling program (one cache
+    entry per (shape, num_steps)) instead of re-tracing the UNet."""
+    from neurosis_tpu.diffusion import LegacyDDPMDiscretization
+    from neurosis_tpu.sampling import EulerEDMSampler, VanillaCFG
+
+    engine = make_tiny_engine()
+    engine.sampler = EulerEDMSampler(
+        discretization=LegacyDDPMDiscretization(), guider=VanillaCFG(scale=3.0), num_steps=2
+    )
+    batch = make_batch()
+    state, frozen = engine.init(jax.random.PRNGKey(0), batch)
+
+    engine.log_images(state.params, frozen, batch, num_img=2, rng=jax.random.PRNGKey(1))
+    assert len(engine._sample_cache) == 1
+    fn = next(iter(engine._sample_cache.values()))
+    engine.log_images(state.params, frozen, batch, num_img=2, rng=jax.random.PRNGKey(2))
+    assert len(engine._sample_cache) == 1
+    assert next(iter(engine._sample_cache.values())) is fn

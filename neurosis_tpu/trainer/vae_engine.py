@@ -38,6 +38,9 @@ class VAETrainState:
     d_opt_state: Optional[optax.OptState]
     ema: Optional[EmaState]
     rng: jax.Array
+    # EMAVectorQuantizer's mutable codebook ('ema_stats' collection); None
+    # for gradient-trained bottlenecks
+    reg_stats: Any = None
 
 
 def _tree_paths_with(tree: dict, keys: tuple) -> dict:
@@ -65,7 +68,8 @@ class AutoencodingEngine:
     # None → diagonal-Gaussian KL (the AutoencoderKL default); a plain
     # regularizer (Identity/DiagonalGaussianRegularizer) or a flax VQ module
     # (VectorQuantizer[WithInputProjection]/GumbelQuantizer — params train with
-    # the generator; EMAVectorQuantizer's mutable codebook is not wired here)
+    # the generator; EMAVectorQuantizer's mutable codebook lives in
+    # VAETrainState.reg_stats and updates during g_step)
     regularizer: Optional[Any] = None
     sample_posterior: bool = True
     input_key: str = "image"
@@ -103,22 +107,43 @@ class AutoencodingEngine:
             keys.append("regularizer")  # VQ codebook trains with the generator
         return tuple(keys)
 
-    def _regularize(self, params: dict, moments: jax.Array, rng: Optional[jax.Array]):
-        """moments/z → (z, regularization_log) via the configured bottleneck."""
+    def _regularize(
+        self,
+        params: dict,
+        moments: jax.Array,
+        rng: Optional[jax.Array],
+        reg_stats: Any = None,
+        train: bool = False,
+    ):
+        """moments/z → (z, regularization_log, new_reg_stats) via the
+        configured bottleneck. reg_stats is the EMAVectorQuantizer codebook
+        collection; it only updates when train=True."""
         if self.regularizer is None:
             dist = DiagonalGaussian.from_moments(moments)
             z = dist.sample(rng) if (self.sample_posterior and rng is not None) else dist.mode()
-            return z, {"kl_loss": dist.kl()}
+            return z, {"kl_loss": dist.kl()}, reg_stats
         if self._reg_is_module:
             import inspect
 
+            sig = inspect.signature(type(self.regularizer).__call__).parameters
             variables = {"params": params.get("regularizer", {})}
+            kwargs = {}
             # GumbelQuantizer needs the rng for its gumbel noise + straight-
             # through path; plain VQ takes only z
-            if rng is not None and "rng" in inspect.signature(type(self.regularizer).__call__).parameters:
-                return self.regularizer.apply(variables, moments, rng)
-            return self.regularizer.apply(variables, moments)
-        return self.regularizer(moments, rng)
+            args = (moments, rng) if (rng is not None and "rng" in sig) else (moments,)
+            if "train" in sig:
+                kwargs["train"] = train
+            if reg_stats is not None:
+                variables["ema_stats"] = reg_stats
+                if train:
+                    (z, log), upd = self.regularizer.apply(
+                        variables, *args, mutable=["ema_stats"], **kwargs
+                    )
+                    return z, log, upd["ema_stats"]
+            z, log = self.regularizer.apply(variables, *args, **kwargs)
+            return z, log, reg_stats
+        z, log = self.regularizer(moments, rng)
+        return z, log, reg_stats
 
     # ------------------------------------------------------------------
 
@@ -128,9 +153,12 @@ class AutoencodingEngine:
         enc_params = self.encoder.init(r_enc, x)["params"]
         moments = self.encoder.apply({"params": enc_params}, x)
         reg_params = {}
+        reg_stats = None
         if self._reg_is_module:
-            reg_params = self.regularizer.init(r_reg, moments).get("params", {})
-        z, _ = self._regularize({"regularizer": reg_params}, moments, rng=None)
+            reg_vars = self.regularizer.init(r_reg, moments)
+            reg_params = reg_vars.get("params", {})
+            reg_stats = reg_vars.get("ema_stats") or None
+        z, _, _ = self._regularize({"regularizer": reg_params}, moments, rng=None, reg_stats=reg_stats)
         dec_params = self.decoder.init(r_dec, z)["params"]
 
         if self.has_discriminator:
@@ -161,17 +189,37 @@ class AutoencodingEngine:
             d_opt_state=d_opt_state,
             ema=ema,
             rng=r_state,
+            reg_stats=reg_stats,
         )
 
     # ------------------------------------------------------------------
 
-    def forward(self, params: dict, x: jax.Array, rng: Optional[jax.Array]):
+    def forward(
+        self,
+        params: dict,
+        x: jax.Array,
+        rng: Optional[jax.Array],
+        reg_stats: Any = None,
+        train: bool = False,
+    ):
         """encode → regularize (KL sample / VQ quantize) → decode
-        (autoencoder.py:469-504)."""
-        moments = self.encoder.apply({"params": params["encoder"]}, x)
-        z, reg_log = self._regularize(params, moments, rng)
-        recons = self.decoder.apply({"params": params["decoder"]}, z)
+        (autoencoder.py:469-504). Returns (z, recons, reg_log); use
+        forward_with_stats for the EMA-codebook training path."""
+        z, recons, reg_log, _ = self.forward_with_stats(params, x, rng, reg_stats, train=False)
         return z, recons, reg_log
+
+    def forward_with_stats(
+        self,
+        params: dict,
+        x: jax.Array,
+        rng: Optional[jax.Array],
+        reg_stats: Any = None,
+        train: bool = False,
+    ):
+        moments = self.encoder.apply({"params": params["encoder"]}, x)
+        z, reg_log, new_stats = self._regularize(params, moments, rng, reg_stats, train=train)
+        recons = self.decoder.apply({"params": params["decoder"]}, z)
+        return z, recons, reg_log, new_stats
 
     def _loss_apply(self, loss_params, batch_stats, inputs, recons, step, optimizer_idx,
                     train=True, **extra):
@@ -205,7 +253,7 @@ class AutoencodingEngine:
         def recon_of(dec_params):
             params = dict(state.params)
             params["decoder"] = dec_params
-            _, recons, _ = self.forward(params, x, z_rng)
+            _, recons, _ = self.forward(params, x, z_rng, reg_stats=state.reg_stats)
             return recons
 
         def last_kernel(tree):
@@ -235,7 +283,9 @@ class AutoencodingEngine:
         def loss_fn(g_params):
             params = dict(state.params)
             params.update(g_params)
-            z, recons, reg_log = self.forward(params, x, z_rng)
+            z, recons, reg_log, new_reg_stats = self.forward_with_stats(
+                params, x, z_rng, state.reg_stats, train=True
+            )
             import inspect
 
             loss_takes_reg = self.has_discriminator and (
@@ -264,10 +314,10 @@ class AutoencodingEngine:
                     q = jnp.mean(reg_log[lk])
                     total = total + q
                     log = dict(log, **{f"train/{lk}": q})
-            return total, (log, new_stats)
+            return total, (log, new_stats, new_reg_stats)
 
         g_params = _tree_paths_with(state.params, self._g_keys())
-        (total, (log, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_params)
+        (total, (log, new_stats, new_reg_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_params)
         updates, g_opt_state = self.g_optimizer.update(grads, state.g_opt_state, g_params)
         g_params = optax.apply_updates(g_params, updates)
 
@@ -282,6 +332,7 @@ class AutoencodingEngine:
             g_opt_state=g_opt_state,
             ema=ema,
             rng=rng,
+            reg_stats=new_reg_stats,
         )
         return new_state, dict(log, total=total)
 
@@ -291,7 +342,7 @@ class AutoencodingEngine:
             raise ValueError("engine has no discriminator")
         rng, z_rng = next_rngs(state.rng, 1)
         x = batch[self.input_key]
-        z, recons, _ = self.forward(state.params, x, z_rng)
+        z, recons, _ = self.forward(state.params, x, z_rng, reg_stats=state.reg_stats)
         recons = jax.lax.stop_gradient(recons)
 
         def loss_fn(d_params):

@@ -162,3 +162,32 @@ def test_gumbel_engine_grads_flow():
     assert np.isfinite(float(log["total"]))
     proj1 = np.asarray(jax.tree_util.tree_leaves(state.params["regularizer"])[0])
     assert np.abs(proj1 - proj0).max() > 0, "gumbel quantizer params did not train"
+
+
+def test_ema_vq_engine_codebook_updates():
+    """EMAVectorQuantizer through the engine: the mutable codebook lives in
+    state.reg_stats and moves during g_step (no gradients involved)."""
+    from neurosis_tpu.modules.regularizers import EMAVectorQuantizer
+
+    common = dict(ch=32, ch_mult=[1], num_res_blocks=1, attn_resolutions=[], resolution=32)
+    eng = AutoencodingEngine(
+        encoder=Encoder(double_z=False, z_channels=4, **common),
+        decoder=Decoder(out_ch=3, z_channels=4, **common),
+        loss=AutoencoderPerceptual(perceptual_weight=0.0),
+        regularizer=EMAVectorQuantizer(n_e=16, e_dim=4, decay=0.8),
+        g_optimizer=optax.adam(1e-3),
+        sample_posterior=False,
+    )
+    state = eng.init(jax.random.PRNGKey(0), batch())
+    assert state.reg_stats is not None and "cluster_size" in state.reg_stats
+    cs0 = np.asarray(state.reg_stats["cluster_size"]).copy()
+
+    g_step = jax.jit(eng.g_step)
+    for i in range(3):
+        state, log = g_step(state, batch(seed=i))
+    assert np.isfinite(float(log["total"]))
+    cs1 = np.asarray(state.reg_stats["cluster_size"])
+    assert np.abs(cs1 - cs0).max() > 0, "EMA codebook statistics did not update"
+    # eval path with the trained codebook
+    z, recons, reg_log = eng.forward(state.params, batch()["image"], None, reg_stats=state.reg_stats)
+    assert np.isfinite(np.asarray(recons)).all()

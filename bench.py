@@ -174,7 +174,13 @@ def main() -> None:
     print("bench: tracing scanned step loop...", file=sys.stderr, flush=True)
     lowered = run_n.lower(params, opt_state, key)
     print("bench: compiling...", file=sys.stderr, flush=True)
-    compiled = lowered.compile()
+    # optional XLA compiler-option sweep, e.g.
+    # NEUROSIS_BENCH_XLA_OPT="xla_tpu_scoped_vmem_limit_kib=98304"
+    xla_opts = {}
+    for kv in filter(None, os.environ.get("NEUROSIS_BENCH_XLA_OPT", "").split(",")):
+        k, _, v = kv.partition("=")
+        xla_opts[k.strip()] = v.strip()
+    compiled = lowered.compile(compiler_options=xla_opts or None)
     try:
         cost = compiled.cost_analysis()
         # XLA cost analysis counts a while/scan body ONCE (verified: the

@@ -178,12 +178,13 @@ def legacy_cosine_annealing_warmup_restarts(
 
     def f(step):
         n = float(step)
-        # walk cycles of geometrically growing length
+        # walk cycles; the next cycle's length scales the POST-warmup portion
+        # (cosine.py:190: (cur - warm_up) * mult + warm_up)
         cycle, start, length = 0, 0.0, float(first_cycle_steps)
         while n >= start + length:
             start += length
             cycle += 1
-            length = float(first_cycle_steps) * (cycle_mult**cycle)
+            length = (length - warm_up_steps) * cycle_mult + warm_up_steps
         step_in_cycle = n - start
         cur_max = max_lr * (gamma**cycle)
         if warm_up_steps > 0 and step_in_cycle < warm_up_steps:

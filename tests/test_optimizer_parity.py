@@ -104,3 +104,94 @@ def test_adafactor_trajectory_parity():
     np.testing.assert_allclose(
         np.asarray(params["w"]), p_t.detach().numpy(), rtol=2e-4, atol=2e-6
     )
+
+
+def test_came_trajectory_parity():
+    """20 steps on identical grads: our optax CAME tracks the reference torch
+    CAME (pytorch_optimizer base stubbed — not installed here)."""
+    import sys
+    import types
+
+    import torch
+
+    # stub the pytorch_optimizer base surface the reference subclasses
+    if "pytorch_optimizer.base.optimizer" not in sys.modules:
+        base = types.ModuleType("pytorch_optimizer.base")
+        exc = types.ModuleType("pytorch_optimizer.base.exception")
+
+        class NoSparseGradientError(Exception):
+            def __init__(self, name):
+                super().__init__(name)
+
+        exc.NoSparseGradientError = NoSparseGradientError
+        optmod = types.ModuleType("pytorch_optimizer.base.optimizer")
+
+        class BaseOptimizer:
+            @staticmethod
+            def validate_learning_rate(lr):
+                assert lr >= 0
+
+            @staticmethod
+            def validate_betas(betas):
+                assert all(0 <= b < 1 for b in betas)
+
+            @staticmethod
+            def validate_non_negative(x, name):
+                assert x >= 0
+
+            @staticmethod
+            def apply_weight_decay(p, grad, lr, weight_decay, weight_decouple, fixed_decay):
+                # pytorch_optimizer semantics: decoupled -> p *= (1 - lr*wd)
+                if weight_decay == 0.0:
+                    return
+                if weight_decouple:
+                    p.mul_(1.0 - (weight_decay if fixed_decay else lr * weight_decay))
+                else:
+                    grad.add_(p, alpha=weight_decay)
+
+        optmod.BaseOptimizer = BaseOptimizer
+        typesmod = types.ModuleType("pytorch_optimizer.base.types")
+        typesmod.BETAS = tuple
+        typesmod.CLOSURE = object
+        typesmod.DEFAULTS = dict
+        typesmod.LOSS = float
+        typesmod.PARAMETERS = list
+        root = types.ModuleType("pytorch_optimizer")
+        sys.modules["pytorch_optimizer"] = root
+        sys.modules["pytorch_optimizer.base"] = base
+        sys.modules["pytorch_optimizer.base.exception"] = exc
+        sys.modules["pytorch_optimizer.base.optimizer"] = optmod
+        sys.modules["pytorch_optimizer.base.types"] = typesmod
+    # came.py does `from .utils import copy_stochastic_`
+    if "neurosis.optimizers" not in sys.modules:
+        pkg = types.ModuleType("neurosis.optimizers")
+        pkg.__path__ = ["/root/reference/src/neurosis/optimizers"]
+        sys.modules["neurosis.optimizers"] = pkg
+    sys.path.insert(0, "tests")
+    from _reference_loader import _load as load
+
+    if "neurosis.optimizers.utils" not in sys.modules:
+        load("neurosis.optimizers.utils", "optimizers/utils.py")
+    came_mod = load("neurosis.optimizers.came", "optimizers/came.py")
+
+    from neurosis_tpu.optimizers import came
+
+    w0 = np.random.RandomState(4).randn(8, 6).astype(np.float32)
+    p_t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    ref_opt = came_mod.CAME([p_t], lr=1e-3, weight_decay=0.0)
+
+    opt = came(learning_rate=1e-3, weight_decay=0.0)
+    params = {"w": jnp.asarray(w0.copy())}
+    state = opt.init(params)
+
+    rng = np.random.RandomState(5)
+    for _ in range(20):
+        g = rng.randn(8, 6).astype(np.float32) * 0.1
+        p_t.grad = torch.from_numpy(g.copy())
+        ref_opt.step()
+        updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+        params = {"w": params["w"] + updates["w"]}
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), p_t.detach().numpy(), rtol=2e-4, atol=2e-6
+    )

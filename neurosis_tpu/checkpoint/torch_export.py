@@ -11,13 +11,16 @@ from .torch_import import flax_path_to_torch_key
 
 
 def _to_torch_layout(leaf_name: str, w: np.ndarray) -> np.ndarray:
+    # ascontiguousarray is load-bearing: safetensors.numpy (≤0.8) serializes
+    # the raw buffer of a transposed VIEW, silently corrupting every conv /
+    # dense weight in the exported file.
     if leaf_name == "kernel":
         if w.ndim == 4:  # HWIO -> OIHW
-            return w.transpose(3, 2, 0, 1)
+            return np.ascontiguousarray(w.transpose(3, 2, 0, 1))
         if w.ndim == 2:  # (in,out) -> (out,in)
-            return w.T
+            return np.ascontiguousarray(w.T)
         if w.ndim == 3:  # WIO -> OIW
-            return w.transpose(2, 1, 0)
+            return np.ascontiguousarray(w.transpose(2, 1, 0))
     return w
 
 

@@ -27,8 +27,11 @@ def _as_pil(image):
         return pil_ensure_rgb(image)
     arr = np.asarray(image)
     if arr.dtype != np.uint8:
-        # floats may be stored in [0,1] or [0,255]; scale only the former
-        if float(arr.max(initial=0.0)) <= 1.0:
+        # dtype-based convention: float arrays are assumed [0,1] (the HF
+        # `datasets` float convention); integer arrays are assumed [0,255].
+        # A per-image max heuristic would brighten genuinely dark [0,255]
+        # floats 255x and make all-equal images value-dependent.
+        if np.issubdtype(arr.dtype, np.floating):
             arr = arr * 255.0
         arr = np.clip(arr, 0.0, 255.0).astype(np.uint8)
     return pil_ensure_rgb(Image.fromarray(arr))

@@ -78,7 +78,7 @@ class VisionTransformerB16(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, norm: bool = True) -> jax.Array:
-        b = x.shape[0]
+        b, in_h, in_w = x.shape[0], x.shape[1], x.shape[2]
         x = nn.Conv(
             self.embed_dim,
             (self.patch_size, self.patch_size),
@@ -92,9 +92,14 @@ class VisionTransformerB16(nn.Module):
         x = x.reshape(b, -1, self.embed_dim)
 
         cls = self.param("cls_token", nn.initializers.normal(0.02), (1, 1, self.embed_dim), jnp.float32)
+        # pos_embed is NATIVE-resolution sized (image_size/patch + cls) and
+        # bicubically interpolated for other input sizes — vit.py:278-302
+        # interpolate_pos_encoding, incl. the +0.1 scale-factor fudge
+        n_native = (self.image_size // self.patch_size) ** 2
         pos = self.param(
-            "pos_embed", nn.initializers.normal(0.02), (1, x.shape[1] + 1, self.embed_dim), jnp.float32
+            "pos_embed", nn.initializers.normal(0.02), (1, n_native + 1, self.embed_dim), jnp.float32
         )
+        pos = _interpolate_pos_encoding(pos, x.shape[1], in_w // self.patch_size, in_h // self.patch_size)
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.embed_dim)).astype(x.dtype), x], axis=1)
         x = x + pos.astype(x.dtype)
 
@@ -116,10 +121,43 @@ class VisionTransformerB16(nn.Module):
             x = _ln(x, self.layer_norm_eps, "norm", self)
         feat = x[:, 0]
         if self.num_classes > 0:
+            # reference head is nn.Linear WITH bias (vit.py:269); the CLIP
+            # converter synthesizes a zero bias when absent (utils.py:112-113)
             feat = nn.Dense(
-                self.num_classes, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="head"
+                self.num_classes, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="head"
             )(feat)
         return feat
+
+
+def _interpolate_pos_encoding(pos: jax.Array, npatch: int, w0_patches: int, h0_patches: int) -> jax.Array:
+    """vit.py:278-302 interpolate_pos_encoding: keep the CLS slot, bicubically
+    resample the native patch grid to the input's grid with torch
+    `F.interpolate(scale_factor=(h0+0.1)/√N)` semantics (exact ATen filter via
+    ops/resize.bicubic_resize scale override)."""
+    import math
+
+    n = pos.shape[1] - 1
+    if npatch == n and w0_patches == h0_patches:
+        return pos
+    from neurosis_tpu.ops.resize import bicubic_resize
+
+    dim = pos.shape[-1]
+    gs = int(math.sqrt(n))
+    cls_pos, patch_pos = pos[:, :1], pos[:, 1:].reshape(1, gs, gs, dim)
+    # the reference adds 0.1 to the target grid before forming the scale
+    # factor (vit.py:293 — "avoid floating point error"); ATen then maps
+    # coordinates with 1/scale_factor, so the override is gs/(h0+0.1)
+    h0, w0 = h0_patches + 0.1, w0_patches + 0.1
+    out = bicubic_resize(
+        patch_pos,
+        (h0_patches, w0_patches),
+        align_corners=False,
+        antialias=False,
+        scales=(gs / h0, gs / w0),
+    )
+    if out.shape[1] != h0_patches or out.shape[2] != w0_patches:
+        raise ValueError("Error in positional encoding interpolation.")
+    return jnp.concatenate([cls_pos, out.reshape(1, -1, dim)], axis=1)
 
 
 def _unit_center(z: jax.Array) -> jax.Array:

@@ -154,6 +154,89 @@ class AutoencoderLPIPSWithDiscr(nn.Module):
 
         raise ValueError(f"Unknown optimizer_idx {optimizer_idx}")
 
+    def log_images(self, inputs: jax.Array, recons: jax.Array) -> dict:
+        """Discriminator-logit visualization grids (vae_lpips_discr.py:202-309).
+
+        Returns {"vis_logits", "vis_logits_blended"}: (1, H, W, 3) arrays in
+        [-1, 1] — colormapped real/fake patch logits (real row on top, fake
+        below) and the same logits alpha-blended over the images, each with a
+        labeled colorbar strip. Empty when the discriminator is disabled or
+        non-patch. Host-side numpy: called eagerly via `.apply(...,
+        method="log_images")`, never inside jit."""
+        import numpy as np
+
+        from neurosis_tpu.utils.image import diverging_colormap, make_grid_nhwc
+
+        if self.disc_start < 0 or self.disc_factor == 0:
+            return {}
+        inputs = jnp.clip(inputs, -1.0, 1.0)
+        recons = jnp.clip(recons, -1.0, 1.0)
+        logits_real = self.discr(jax.lax.stop_gradient(inputs), train=False)
+        if logits_real.ndim < 4:
+            return {}  # non-patch discriminator (vae_lpips_discr.py:214-216)
+        logits_fake = self.discr(jax.lax.stop_gradient(recons), train=False)
+
+        lr = np.asarray(logits_real, np.float32)  # (b, h', w', 1) NHWC
+        lf = np.asarray(logits_fake, np.float32)
+        high = max(float(np.abs(lr).max()), float(np.abs(lf).max()), 1e-8)
+
+        h, w = inputs.shape[1], inputs.shape[2]
+
+        def upsample(lg):  # nearest to image size (vae_lpips_discr.py:231-243)
+            reps_h, reps_w = (h + lg.shape[1] - 1) // lg.shape[1], (w + lg.shape[2] - 1) // lg.shape[2]
+            return np.repeat(np.repeat(lg, reps_h, axis=1), reps_w, axis=2)[:, :h, :w]
+
+        lr, lf = upsample(lr), upsample(lf)
+        alpha = 0.8 * np.concatenate(
+            [make_grid_nhwc(np.abs(lr) / high, 4), make_grid_nhwc(np.abs(lf) / high, 4)], axis=0
+        )  # (H, W, 1) in [0, 0.8]
+        cm_r = diverging_colormap(((lr + high) / (2 * high))[..., 0])
+        cm_f = diverging_colormap(((lf + high) / (2 * high))[..., 0])
+        grid_logits = np.concatenate([make_grid_nhwc(cm_r, 4), make_grid_nhwc(cm_f, 4)], axis=0)
+        grid_images = np.concatenate(
+            [
+                make_grid_nhwc(0.5 * np.asarray(inputs) + 0.5, 4),
+                make_grid_nhwc(0.5 * np.asarray(recons) + 0.5, 4),
+            ],
+            axis=0,
+        )
+        grid_blend = alpha * grid_logits + (1 - alpha) * grid_images
+
+        cbar = _colorbar_strip(grid_logits.shape[1], high)
+        annotated = np.concatenate([grid_logits, cbar], axis=0)
+        blended = np.concatenate([grid_blend, cbar], axis=0)
+        return {
+            "vis_logits": (2.0 * annotated - 1.0)[None],
+            "vis_logits_blended": (2.0 * blended - 1.0)[None],
+        }
+
+
+def _colorbar_strip(width: int, high: float, height: int = 24):
+    """Horizontal colorbar with ±high labels (matplotlib-free equivalent of
+    vae_lpips_discr.py:281-303)."""
+    import numpy as np
+
+    from neurosis_tpu.utils.image import diverging_colormap
+
+    ramp = diverging_colormap(np.linspace(0.0, 1.0, width))  # (width, 3)
+    strip = np.broadcast_to(ramp[None], (height, width, 3)).copy()
+    try:
+        from PIL import Image, ImageDraw
+
+        from neurosis_tpu.utils.image import _default_font
+
+        img = Image.fromarray((strip * 255).astype(np.uint8))
+        draw = ImageDraw.Draw(img)
+        font = _default_font(max(10, height - 12))
+        draw.text((2, 2), f"{-high:.2f}", fill=(0, 0, 0), font=font)
+        label = f"{high:.2f}"
+        tw = draw.textlength(label, font=font)
+        draw.text((width - tw - 2, 2), label, fill=(0, 0, 0), font=font)
+        strip = np.asarray(img, np.float32) / 255.0
+    except Exception:  # pragma: no cover - labels are cosmetic
+        pass
+    return strip
+
 
 class LatentLPIPS(nn.Module):
     """LPIPS between decoded latents (parity: autoencoding/losses/latent_lpips.py:10).

@@ -21,8 +21,10 @@ from .embedding import AbstractEmbModel
 
 
 class ClassEmbedder(AbstractEmbModel):
-    """int class labels → embedding vector (classed.py:9-33); n_classes is the
-    ucg class when add_sequence_dim is unset."""
+    """int class labels → embedding vector (classed.py:9-33). Table is exactly
+    n_classes rows (matches nn.Embedding(n_classes, dim) so reference
+    checkpoints load shape-identically); the last class (n_classes-1) doubles
+    as the ucg/unconditional class per classed.py:28-32."""
 
     embed_dim: int = 512
     n_classes: int = 1000
@@ -30,13 +32,13 @@ class ClassEmbedder(AbstractEmbModel):
 
     @nn.compact
     def __call__(self, c: jax.Array) -> Tuple[jax.Array]:
-        emb = nn.Embed(self.n_classes + 1, self.embed_dim, name="embedding")(c.astype(jnp.int32))
+        emb = nn.Embed(self.n_classes, self.embed_dim, name="embedding")(c.astype(jnp.int32))
         if self.add_sequence_dim:
             emb = emb[:, None, :]
         return (emb,)
 
     def uncond_class(self) -> int:
-        return self.n_classes  # extra ucg class (classed.py:28-32)
+        return self.n_classes - 1  # classed.py:28-32 ("one extra class for ucg")
 
 
 class ClassEmbedderForMultiCond(ClassEmbedder):

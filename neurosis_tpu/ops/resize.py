@@ -44,14 +44,25 @@ def _pixel_scale(in_size: int, out_size: int, align_corners: bool) -> float:
 
 
 @lru_cache(maxsize=64)
-def _weight_matrix(in_size: int, out_size: int, align_corners: bool, antialias: bool) -> np.ndarray:
+def _weight_matrix(
+    in_size: int,
+    out_size: int,
+    align_corners: bool,
+    antialias: bool,
+    scale_override: float = 0.0,
+) -> np.ndarray:
     """(out_size, in_size) row-stochastic interpolation matrix, mirroring
     ATen UpSampleKernel:
       - antialias path (_compute_indices_weights_aa): kernel support widened
         by the scale on downscale, weights renormalized;
       - plain path: classic 4-tap cubic at the source coordinate, edge-clamped.
+
+    scale_override > 0 reproduces `F.interpolate(scale_factor=s)` semantics:
+    ATen maps coordinates with 1/s, NOT out/in (compute_scales_value) — the
+    DreamSim ViT's pos-embed interpolation depends on this (vit.py:289-297
+    passes a +0.1-fudged scale_factor).
     """
-    scale = _pixel_scale(in_size, out_size, align_corners)
+    scale = scale_override if scale_override > 0 else _pixel_scale(in_size, out_size, align_corners)
     W = np.zeros((out_size, in_size), np.float64)
 
     if antialias:
@@ -93,9 +104,12 @@ def bicubic_resize(
     size: tuple,
     align_corners: bool = False,
     antialias: bool = True,
+    scales: tuple = (0.0, 0.0),
 ) -> jnp.ndarray:
     """Resize NHWC (or HWC) images to `size=(H, W)` with torch
-    `interpolate(mode='bicubic')` semantics. Runs as two matmuls."""
+    `interpolate(mode='bicubic')` semantics. Runs as two matmuls.
+    `scales=(1/sf_h, 1/sf_w)` overrides the coordinate-mapping scale for
+    `F.interpolate(scale_factor=...)` parity (0 = derive from sizes)."""
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
@@ -109,10 +123,10 @@ def bicubic_resize(
     # is the point (bf16 default precision shifts pixels by ~3e-3)
     hi = jax.lax.Precision.HIGHEST
     if h != out_h:
-        wh = jnp.asarray(_weight_matrix(h, out_h, align_corners, antialias))
+        wh = jnp.asarray(_weight_matrix(h, out_h, align_corners, antialias, scales[0]))
         xf = jnp.einsum("oh,bhwc->bowc", wh, xf, precision=hi)
     if w != out_w:
-        ww = jnp.asarray(_weight_matrix(w, out_w, align_corners, antialias))
+        ww = jnp.asarray(_weight_matrix(w, out_w, align_corners, antialias, scales[1]))
         xf = jnp.einsum("ow,bhwc->bhoc", ww, xf, precision=hi)
     out = xf.astype(dtype)
     return out[0] if squeeze else out

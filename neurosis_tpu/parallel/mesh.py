@@ -15,11 +15,14 @@ mesh (jax.distributed, DCN handled by XLA's collective layer).
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 
 def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
@@ -87,6 +90,24 @@ def shard_batch(mesh: Mesh, batch: Any, data_axis: str = "data") -> Any:
         ):
             spec = P(data_axis)
         else:
+            if (
+                x.ndim >= 1
+                and x.shape[0] != local_bs
+                and x.shape[0] >= local_data
+                and x.shape[0] % local_data == 0
+            ):
+                # A leaf that looks shardable (divisible leading dim) but
+                # doesn't match the batch size is demoted to replicated —
+                # surface it: on multi-host, replicated placement of
+                # per-process-DIFFERENT data via make_array_from_process_local_data
+                # would be silently incorrect.
+                logger.warning(
+                    "shard_batch: leaf with leading dim %d != batch size %d "
+                    "replicated over the mesh; verify it is identical across "
+                    "processes on multi-host runs",
+                    x.shape[0],
+                    local_bs,
+                )
             spec = P()
         sharding = NamedSharding(mesh, spec)
         if multihost:

@@ -184,7 +184,9 @@ def legacy_cosine_annealing_warmup_restarts(
         while n >= start + length:
             start += length
             cycle += 1
-            length = (length - warm_up_steps) * cycle_mult + warm_up_steps
+            # int() truncation matches cosine.py:190 exactly — without it,
+            # cycle boundaries drift from torch for fractional cycle_mult.
+            length = float(int((length - warm_up_steps) * cycle_mult) + warm_up_steps)
         step_in_cycle = n - start
         cur_max = max_lr * (gamma**cycle)
         if warm_up_steps > 0 and step_in_cycle < warm_up_steps:

@@ -40,10 +40,18 @@ class EMATracker:
 
 
 class ImageLogger:
-    """Periodic sample-grid logging (trainer/callbacks/image_logger.py:26-420).
+    """Periodic sample/recon-grid logging (trainer/callbacks/image_logger.py:26-420).
 
-    Saves local PNGs per split; samples via engine.sampler with CFG (cond/uncond
-    from the batch), decodes with the frozen VAE.
+    - cadence is StepType-driven (`get_step_idx`/`check_step_idx` parity,
+      image_logger.py:98-126: global_step/batch_idx/global_batch/sample_idx,
+      log_first_step, never-log-the-same-step-twice);
+    - diffusion engines: samples via engine.sampler with CFG **under the EMA
+      scope** when the engine trains one (models/diffusion.py:413), decodes
+      with the frozen VAE;
+    - VAE engines (no sampler): drives `engine.log_images` →
+      inputs/recons/diff/diff_boost (+_ema, + disc-logit grids);
+    - writes per-split rank-suffixed PNGs `gs…_e…_b…_<key>` plus a caption
+      grid, and mirrors everything to wandb (optional table).
     """
 
     def __init__(
@@ -52,64 +60,173 @@ class ImageLogger:
         max_images: int = 4,
         num_steps: Optional[int] = None,
         log_before_start: bool = False,
+        log_first_step: bool = False,
+        log_step_type: StepType = StepType.global_step,
+        batch_size: int = 1,
+        accumulate_grad_batches: int = 1,
+        clamp: bool = True,
+        rescale: bool = True,
+        extra_log_keys: Sequence[str] = (),
+        wandb_log_table: bool = False,
         split: str = "train",
     ):
         self.every_n = every_n_train_steps
         self.max_images = max_images
         self.num_steps = num_steps
         self.log_before_start = log_before_start
+        self.log_first_step = log_first_step
+        self.log_step_type = StepType(log_step_type)
+        self.batch_size = batch_size
+        self.accumulate_grad_batches = accumulate_grad_batches
+        self.clamp = clamp
+        self.rescale = rescale
+        self.extra_log_keys = list(extra_log_keys)
+        self.wandb_log_table = wandb_log_table
         self.split = split
-        self._sample_fn = None
+        self._last_logged = -1
+
+    # -- cadence (image_logger.py:98-126) ----------------------------------
+
+    def get_step_idx(self, global_step: int, batch_idx: int) -> int:
+        if self.log_step_type == StepType.global_step:
+            return global_step
+        if self.log_step_type == StepType.batch_idx:
+            return batch_idx
+        if self.log_step_type == StepType.global_batch:
+            return batch_idx * self.accumulate_grad_batches
+        if self.log_step_type == StepType.sample_idx:
+            return batch_idx * self.accumulate_grad_batches * self.batch_size
+        raise ValueError(f"invalid log_step_type: {self.log_step_type}")
+
+    def check_step_idx(self, global_step: int, batch_idx: int, before_start: bool = False) -> bool:
+        step_idx = self.get_step_idx(global_step, batch_idx)
+        if step_idx <= self._last_logged:
+            return False
+        if step_idx == 0 and before_start:
+            return self.log_before_start
+        if step_idx == 1:
+            return self.log_first_step
+        return (step_idx % self.every_n) == 0
+
+    # -- hooks --------------------------------------------------------------
 
     def on_train_batch_end(self, trainer, state, frozen, batch, metrics, step: int):
-        if step % self.every_n != 0 and not (self.log_before_start and step == 1):
+        batch_idx = getattr(trainer, "batch_idx", step)
+        if not self.check_step_idx(step, batch_idx):
             return
+        self._last_logged = self.get_step_idx(step, batch_idx)
         try:
             self._log_images(trainer, state, frozen, batch, step)
         except Exception:
             logger.exception("image logging failed")
 
+    # -- producers -----------------------------------------------------------
+
     def _log_images(self, trainer, state, frozen, batch, step: int):
-        from neurosis_tpu.utils.image import save_image_grid
-
         engine = trainer.engine
-        if engine.sampler is None or engine.first_stage is None:
-            return
-        prepped = trainer.prepare_batch(batch)
         n = self.max_images
-        prepped = {k: v[:n] if hasattr(v, "__getitem__") and not isinstance(v, str) else v for k, v in prepped.items()}
-
-        params = {"params": trainer.engine._merged_cond_params(state.params, frozen)}
-        c, uc = engine.conditioner.get_unconditional_conditioning(params, prepped)
-
-        img = prepped[engine.input_key]
-        shape = (img.shape[0], img.shape[1] // 8, img.shape[2] // 8, engine.model.in_channels)
-        rng = jax.random.PRNGKey(step)
-        latents = engine.sample(state.params, frozen, c, uc, rng, shape, num_steps=self.num_steps)
-        decoded = engine.decode_first_stage(frozen, latents)
-
+        prepped = trainer.prepare_batch(batch)
+        prepped = {
+            k: v[:n] if hasattr(v, "__getitem__") and not isinstance(v, str) else v
+            for k, v in prepped.items()
+        }
         captions = batch.get(trainer.caption_key)
+
+        if hasattr(engine, "g_step"):
+            # VAE/GAN engine: recon observability (autoencoder.py:373-427)
+            images = engine.log_images(state, prepped, num_img=n, rng=jax.random.PRNGKey(step))
+        else:
+            if engine.sampler is None:
+                return
+            # EMA scope for plotting (models/diffusion.py:413 ema_scope):
+            # inputs / reconstructions / samples / rendered conditioning
+            images = engine.log_images(
+                engine.eval_params(state),
+                frozen,
+                prepped,
+                num_img=n,
+                rng=jax.random.PRNGKey(step),
+                captions=list(captions[:n]) if captions is not None else None,
+                num_steps=self.num_steps,
+            )
+        self._write(trainer, images, batch, captions, step)
+
+    # -- sink (image_logger.py:169-320 log_local) ----------------------------
+
+    def _rescale(self, arr: np.ndarray) -> np.ndarray:
+        arr = np.asarray(arr, np.float32)
+        if self.clamp:
+            arr = np.clip(arr, -1.0, 1.0)
+        if self.rescale:
+            arr = (arr + 1.0) / 2.0
+        return arr
+
+    def _write(self, trainer, images: dict, batch, captions, step: int):
+        from neurosis_tpu.utils.image import array_to_pil, save_image_grid
+
+        epoch = getattr(trainer, "epoch", 0)
+        batch_idx = getattr(trainer, "batch_idx", 0)
         out_dir = Path(trainer.root_dir) / "images" / self.split
-        save_image_grid(
-            [np.asarray(decoded[i]) for i in range(decoded.shape[0])],
-            out_dir / f"samples_gs-{step:06d}.png",
-            captions=list(captions[: decoded.shape[0]]) if captions is not None else None,
-            label=f"step {step}",
-        )
-        save_image_grid(
-            [np.asarray(img[i]) for i in range(min(n, img.shape[0]))],
-            out_dir / f"inputs_gs-{step:06d}.png",
-            label=f"step {step}",
-        )
+        out_dir.mkdir(parents=True, exist_ok=True)
+        fstem = f"gs{step:06d}_e{epoch:04d}_b{batch_idx:06d}"
+        rank = jax.process_index()
+        if rank:
+            fstem += f"_r{rank}"  # avoid cross-rank collisions (log_local:187-189)
+
+        wandb_dict: dict = {}
+        table_dict: dict = {}
+        for key, arr in images.items():
+            arr = self._rescale(arr)
+            pils = [array_to_pil(arr[i]) for i in range(arr.shape[0])]
+            for idx, img in enumerate(pils):
+                img.save(out_dir / f"{fstem}_{key.replace('/', '_')}_{idx:02d}.png")
+            wandb_dict[f"{self.split}/{key}"] = pils
+            table_dict[key] = pils
+        if "samples" in images and captions is not None:
+            nimg = images["samples"].shape[0]
+            grid_path = out_dir / f"{fstem}_samples_grid.png"
+            save_image_grid(
+                [np.asarray(images["samples"][i]) for i in range(nimg)],
+                grid_path,
+                captions=list(captions[:nimg]),
+                label=f"step {step}",
+            )
+            wandb_dict[f"{self.split}/sample_grid"] = [grid_path]
+            table_dict["caption"] = list(captions[:nimg])
+        for key in self.extra_log_keys:
+            if key in batch:
+                vals = batch[key]
+                table_dict[key] = [
+                    tuple(np.asarray(v).tolist()) if hasattr(v, "__len__") and not isinstance(v, str) else v
+                    for v in (vals if isinstance(vals, (list, tuple)) else list(np.asarray(vals)))
+                ]
+
         wb = getattr(trainer.logger, "wandb", None)
         if wb is not None:
-            import wandb as _wandb
+            try:
+                import wandb as _wandb
 
-            wb.log(
-                {f"{self.split}/samples": _wandb.Image(str(out_dir / f"samples_gs-{step:06d}.png"))},
-                step=step,
-            )
-        logger.info(f"logged sample images at step {step} → {out_dir}")
+                payload = {
+                    k: [_wandb.Image(str(x) if isinstance(x, Path) else x) for x in v]
+                    for k, v in wandb_dict.items()
+                }
+                wb.log(payload, step=step)
+                if self.wandb_log_table and table_dict:
+                    cols = list(table_dict)
+                    nrows = max(len(v) for v in table_dict.values())
+                    rows = [
+                        [
+                            (_wandb.Image(table_dict[c][i]) if hasattr(table_dict[c][i], "save") else table_dict[c][i])
+                            if i < len(table_dict[c])
+                            else None
+                            for c in cols
+                        ]
+                        for i in range(nrows)
+                    ]
+                    wb.log({f"{self.split}/table": _wandb.Table(columns=cols, data=rows)}, step=step)
+            except Exception:
+                logger.exception("wandb image logging failed")
+        logger.info(f"logged {sorted(images)} images at step {step} → {out_dir}")
 
 
 def _state_payload(state) -> dict:
@@ -296,10 +413,13 @@ class HFHubCheckpoint:
 
 class SaveConfigCallback:
     """Persist the resolved config next to the run (LoggerSaveConfigCallback
-    parity, trainer/callbacks/wandb.py:15-34); uploads to wandb when active."""
+    parity, trainer/callbacks/wandb.py:15-34). With an active wandb run:
+    hyperparams update + config uploaded as a `config`-type artifact +
+    optional `log_code` of the package source."""
 
-    def __init__(self, config: Optional[dict] = None):
+    def __init__(self, config: Optional[dict] = None, log_code: bool = False):
         self.config = config
+        self.log_code = log_code
 
     def on_fit_start(self, trainer, state):
         if not self.config:
@@ -311,5 +431,14 @@ class SaveConfigCallback:
         path.write_text(yaml.safe_dump(self.config, sort_keys=False))
         wb = getattr(trainer.logger, "wandb", None)
         if wb is not None:
-            wb.config.update({"resolved_config": self.config}, allow_val_change=True)
+            try:
+                wb.config.update({"resolved_config": self.config}, allow_val_change=True)
+                if hasattr(wb, "log_artifact"):
+                    wb.log_artifact(str(path), type="config")
+                if self.log_code and hasattr(wb, "log_code"):
+                    import neurosis_tpu
+
+                    wb.log_code(root=str(Path(neurosis_tpu.__file__).parent))
+            except Exception:
+                logger.exception("wandb config artifact upload failed")
         logger.info(f"saved resolved config → {path}")

@@ -147,6 +147,14 @@ def _build(args):
                 max_images=il.get("max_images", 4),
                 num_steps=(il.get("log_func_kwargs") or {}).get("num_steps"),
                 log_before_start=il.get("log_before_start", False),
+                log_first_step=il.get("log_first_step", False),
+                log_step_type=il.get("log_step_type", "global_step"),
+                batch_size=il.get("batch_size", 1),
+                accumulate_grad_batches=il.get("accumulate_grad_batches", 1),
+                clamp=il.get("clamp", True),
+                rescale=il.get("rescale", True),
+                extra_log_keys=il.get("extra_log_keys") or (),
+                wandb_log_table=il.get("wandb_log_table", False),
             )
         )
     remote_ckpt_url = None
@@ -182,6 +190,8 @@ def _build(args):
         fsdp=fsdp,
         wandb_config=_wandb_config(trainer_cfg),
         remote_checkpoint_url=trainer_cfg.get("remote_checkpoint_url") or remote_ckpt_url,
+        allow_random_weights=trainer_cfg.get("allow_random_weights", False),
+        wandb_watch_steps=trainer_cfg.get("wandb_watch_steps", 0),
     )
     return cfg, engine, dataset, trainer
 

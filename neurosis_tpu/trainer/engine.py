@@ -32,7 +32,7 @@ from neurosis_tpu.diffusion.loss import StandardDiffusionLoss
 from neurosis_tpu.models.unet import UNetModel
 from neurosis_tpu.models.vae import Decoder, Encoder
 from neurosis_tpu.modules.distributions import DiagonalGaussian
-from neurosis_tpu.modules.ema import EmaState, ema_init, ema_update
+from neurosis_tpu.modules.ema import EmaState, ema_copy_to, ema_init, ema_update
 from neurosis_tpu.modules.encoders.embedding import GeneralConditioner
 from neurosis_tpu.trainer.state import TrainState, next_rngs
 
@@ -211,14 +211,33 @@ class DiffusionEngine:
         return new_state, metrics
 
     def eval_step(self, state: TrainState, frozen: dict, batch: dict):
-        """Loss-only step for `validate` (no grads, no optimizer update)."""
+        """Loss-only step for `validate` (no grads, no optimizer update).
+
+        With use_ema, also evaluates under the EMA shadows and reports
+        `*_ema`-suffixed metrics — the reference's validation ema_scope
+        (models/autoencoder.py:295-300 pattern applied to this engine)."""
         rng, vae_rng, step_rng = next_rngs(state.rng, 2)
         if self.latents_key and self.latents_key in batch:
             latents = batch[self.latents_key]
         else:
             latents = self.encode_first_stage(frozen, batch[self.input_key], vae_rng)
         _, metrics = self.loss(state.params, frozen, batch, latents, step_rng)
+        if self.use_ema and state.ema is not None:
+            _, ema_metrics = self.loss(
+                ema_copy_to(state.ema, state.params), frozen, batch, latents, step_rng
+            )
+            metrics = dict(metrics, **{f"{k}_ema": v for k, v in ema_metrics.items()})
         return state._replace(rng=rng), metrics
+
+    def eval_params(self, state: TrainState) -> dict:
+        """ema_scope equivalent (models/diffusion.py:247-257): the EMA shadow
+        tree substituted for the trainable params, cast to live dtypes. Used
+        by every sampling/plotting/export consumer; raw params when EMA is
+        off. Being functional, there is no store/restore dance — the live
+        tree is never mutated."""
+        if self.use_ema and getattr(state, "ema", None) is not None:
+            return ema_copy_to(state.ema, state.params)
+        return state.params
 
     # ------------------------------------------------------------------
     # sampling / eval (models/diffusion.py:298-313, 423-445)
@@ -274,6 +293,7 @@ class DiffusionEngine:
         rng: Optional[jax.Array] = None,
         no_cond_log: bool = False,
         captions: Optional[Sequence[str]] = None,
+        num_steps: Optional[int] = None,
     ) -> dict:
         """inputs / reconstructions / samples (+ rendered conditioning text)
         — models/diffusion.py:315-420. Returns numpy NHWC images in [-1,1]."""
@@ -302,6 +322,6 @@ class DiffusionEngine:
                 if hasattr(v, "shape") or k in ("uncond_ids",)
             }
             c, uc = self.conditioner.get_unconditional_conditioning(cond_params, small)
-            samples = self.sample(params, frozen, c, uc, sample_rng, z.shape)
+            samples = self.sample(params, frozen, c, uc, sample_rng, z.shape, num_steps=num_steps)
             log["samples"] = np.asarray(self.decode_first_stage(frozen, samples))
         return log

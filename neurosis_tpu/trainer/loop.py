@@ -58,14 +58,30 @@ class HashTokenizer:
         return out
 
 
-def get_tokenizer(version: str = "openai/clip-vit-large-patch14", max_length: int = 77):
+def get_tokenizer(
+    version: str = "openai/clip-vit-large-patch14",
+    max_length: int = 77,
+    allow_fallback: bool = False,
+):
+    """Real CLIP BPE tokenizer, or — ONLY when explicitly allowed — the
+    HashTokenizer smoke fallback. A silent downgrade would train the text
+    encoder on garbage ids for an entire headless run, so missing vocab is
+    fatal unless fast_dev_run / NEUROSIS_ALLOW_HASH_TOKENIZER=1 opted in."""
+    import os
+
     from neurosis_tpu.models.text_encoder.tokenizer import CLIPTokenizer
 
     try:
         return CLIPTokenizer.from_pretrained(version, max_length=max_length)
     except FileNotFoundError:
-        logger.warning("no CLIP vocab found — using HashTokenizer (smoke-test mode)")
-        return HashTokenizer(max_length=max_length)
+        if allow_fallback or os.environ.get("NEUROSIS_ALLOW_HASH_TOKENIZER") == "1":
+            logger.warning("no CLIP vocab found — using HashTokenizer (smoke-test mode)")
+            return HashTokenizer(max_length=max_length)
+        raise FileNotFoundError(
+            f"no CLIP vocab found for tokenizer '{version}'. Training without it would "
+            "silently de-CLIP the run. Install the vocab, pass Trainer(tokenizer=...), "
+            "enable fast_dev_run, or set NEUROSIS_ALLOW_HASH_TOKENIZER=1 for smoke tests."
+        )
 
 
 class JsonlLogger:
@@ -118,6 +134,8 @@ class Trainer:
         fsdp: int = 1,
         wandb_config: Optional[dict] = None,
         remote_checkpoint_url: Optional[str] = None,
+        allow_random_weights: bool = False,
+        wandb_watch_steps: int = 0,
     ):
         if debug_nans:
             # detect_anomaly parity (SURVEY §5.2): trap NaNs at the op level
@@ -130,7 +148,9 @@ class Trainer:
         self.seed = seed
         self.callbacks = list(callbacks)
         self.loss_hooks = list(loss_hooks)
-        self.tokenizer = tokenizer or get_tokenizer(max_length=token_max_length)
+        self.tokenizer = tokenizer or get_tokenizer(
+            max_length=token_max_length, allow_fallback=fast_dev_run
+        )
         self.t5_tokenizer = t5_tokenizer
         self.caption_key = caption_key
         self.logger = JsonlLogger(self.root_dir / "logs", wandb_config=wandb_config)
@@ -140,6 +160,14 @@ class Trainer:
         self.fsdp = int(fsdp or 1)
         self.mesh = None  # built lazily in fit()
         self.remote_checkpoint_url = remote_checkpoint_url
+        # validate/predict on never-loaded params is meaningless; require an
+        # explicit opt-in (fast_dev_run implies it)
+        self.allow_random_weights = allow_random_weights or fast_dev_run
+        self.wandb_watch_steps = int(wandb_watch_steps or 0)
+        # cadence state exposed to callbacks (StepType batch_idx/global_batch)
+        self.batch_idx = 0
+        self.epoch = 0
+        self._weights_loaded = False
 
     # -- mesh / sharding ----------------------------------------------------
 
@@ -274,6 +302,7 @@ class Trainer:
                     else:
                         state, metrics = g_step(state, prepped)
                     batch_idx += 1
+                    self.batch_idx, self.epoch = batch_idx, epoch
                     global_step = int(state.step)
                     if global_step % self.log_every == 0:
                         self.logger.log(metrics, global_step)
@@ -321,7 +350,9 @@ class Trainer:
                     key = prepped[self.engine.input_key].shape
                     prepped = self._place_batch(prepped)
                     state, metrics = self._step_fn(key)(state, frozen, prepped)
+                    self.batch_idx, self.epoch = batch_idx, epoch
                     global_step = int(state.step)
+                    self._wandb_watch(state, global_step)
 
                     loss_val = metrics.get("loss")
                     for hook in self.loss_hooks:
@@ -357,6 +388,7 @@ class Trainer:
         eval_fns: dict = {}
         sums: dict = {}
         n = 0
+        is_vae = hasattr(self.engine, "g_step")
         ctx = self.mesh if self.mesh is not None else _nullcontext()
         with ctx:
             for batch in batch_iter_factory():
@@ -364,17 +396,24 @@ class Trainer:
                     break
                 prepped = self.prepare_batch(batch)
                 if state is None:
-                    state, frozen = self.engine.init(rng, prepped)
+                    if is_vae:
+                        state, frozen = self.engine.init(rng, prepped), {}
+                    else:
+                        state, frozen = self.engine.init(rng, prepped)
                     if getattr(self.engine, "ckpt_path", None):
                         state, frozen = self._load_ckpt(state, frozen)
                     state = self._maybe_resume(state)
+                    self._require_loaded_weights("validate")
                     state = self._shard(state)
                     frozen = self._shard(frozen)
                 key = prepped[self.engine.input_key].shape
                 if key not in eval_fns:
                     eval_fns[key] = jax.jit(self.engine.eval_step)
                 prepped = self._place_batch(prepped)
-                state, metrics = eval_fns[key](state, frozen, prepped)
+                if is_vae:
+                    state, metrics = eval_fns[key](state, prepped)
+                else:
+                    state, metrics = eval_fns[key](state, frozen, prepped)
                 for k, v in metrics.items():
                     try:
                         sums[k] = sums.get(k, 0.0) + float(v)
@@ -418,12 +457,15 @@ class Trainer:
         if getattr(self.engine, "ckpt_path", None):
             state, frozen = self._load_ckpt(state, frozen)
         state = self._maybe_resume(state)
+        self._require_loaded_weights("predict")
 
-        cond_params = {"params": self.engine._merged_cond_params(state.params, frozen)}
+        # EMA scope for inference (models/diffusion.py:410-415)
+        params = self.engine.eval_params(state)
+        cond_params = {"params": self.engine._merged_cond_params(params, frozen)}
         c, uc = self.engine.conditioner.get_unconditional_conditioning(cond_params, prepped)
         shape = (n, size // 8, size // 8, self.engine.model.in_channels)
         latents = self.engine.sample(
-            state.params, frozen, c, uc, jax.random.PRNGKey(self.seed + 1), shape, num_steps=num_steps
+            params, frozen, c, uc, jax.random.PRNGKey(self.seed + 1), shape, num_steps=num_steps
         )
         decoded = self.engine.decode_first_stage(frozen, latents)
 
@@ -449,10 +491,52 @@ class Trainer:
         from neurosis_tpu.checkpoint.sgm import load_sgm_checkpoint
 
         try:
-            return load_sgm_checkpoint(self.engine, state, frozen, self.engine.ckpt_path)
+            state, frozen = load_sgm_checkpoint(self.engine, state, frozen, self.engine.ckpt_path)
+            self._weights_loaded = True
+            return state, frozen
         except FileNotFoundError:
             logger.warning(f"ckpt_path {self.engine.ckpt_path} not found — training from scratch")
             return state, frozen
+
+    def _require_loaded_weights(self, what: str):
+        """validate/predict on never-loaded random params "succeeds" with
+        meaningless output (VERDICT r2 weak #3) — make it loud instead."""
+        if self._weights_loaded or self.allow_random_weights:
+            return
+        raise RuntimeError(
+            f"{what} would run on randomly-initialized weights: no ckpt_path was set and "
+            "no resumable checkpoint was found. Pass a checkpoint, or set "
+            "Trainer(allow_random_weights=True) / fast_dev_run for smoke tests."
+        )
+
+    def _wandb_watch(self, state, step: int):
+        """wandb.watch parity (models/diffusion.py:238-240): on the
+        `wandb_watch_steps` cadence, log parameter histograms grouped by
+        top-level module (bounded payload; wandb's own watch() is per-leaf)."""
+        if not self.wandb_watch_steps or step % self.wandb_watch_steps:
+            return
+        wb = getattr(self.logger, "wandb", None)
+        if wb is None:
+            return
+        try:
+            import wandb as _wandb
+
+            groups: dict = {}
+            flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+            for path, leaf in flat:
+                parts = [str(getattr(p, "key", p)) for p in path]
+                key = "/".join(parts[:2])
+                arr = np.asarray(leaf).ravel()
+                if arr.size > 4096:  # subsample: histograms, not exact dumps
+                    arr = arr[:: max(1, arr.size // 4096)]
+                groups.setdefault(key, []).append(arr)
+            payload = {
+                f"parameters/{k}": _wandb.Histogram(np.concatenate(v))
+                for k, v in groups.items()
+            }
+            wb.log(payload, step=step)
+        except Exception:
+            logger.exception("wandb watch logging failed")
 
     def _maybe_resume(self, state):
         """Resume params/step from the latest checkpoint: the remote blob store
@@ -480,6 +564,7 @@ class Trainer:
                 template["ema_num_updates"] = 0
             restored = mgr.restore(latest, args=ocp.args.StandardRestore(template))
             logger.info(f"resumed from checkpoint step {latest}")
+            self._weights_loaded = True
             import jax.numpy as jnp
 
             new = state._replace(
@@ -515,6 +600,7 @@ class Trainer:
             template = jax.tree_util.tree_map(lambda x: np.asarray(x), _state_payload(state))
             restored = blob.load_checkpoint(latest, template)
             logger.info(f"resumed from remote checkpoint step {latest} ({self.remote_checkpoint_url})")
+            self._weights_loaded = True
             import jax.numpy as jnp
 
             new = state._replace(

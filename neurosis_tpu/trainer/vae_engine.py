@@ -25,7 +25,7 @@ import optax
 from neurosis_tpu.losses.vae_loss import AutoencoderLPIPSWithDiscr, AutoencoderPerceptual
 from neurosis_tpu.models.vae import Decoder, Encoder
 from neurosis_tpu.modules.distributions import DiagonalGaussian
-from neurosis_tpu.modules.ema import EmaState, ema_init, ema_update
+from neurosis_tpu.modules.ema import EmaState, ema_copy_to, ema_init, ema_update
 from neurosis_tpu.trainer.state import next_rngs
 
 
@@ -83,6 +83,8 @@ class AutoencodingEngine:
     # discriminator_loss.py:198-210): ratio of nll/g grad norms at the
     # decoder's last layer, computed with two extra decoder backwards
     adaptive_disc_weight: bool = False
+    # small-error brightness boost in log_images diff maps (autoencoder.py:160)
+    diff_boost_factor: float = 3.0
 
     @property
     def has_discriminator(self) -> bool:
@@ -367,6 +369,85 @@ class AutoencodingEngine:
             rng=rng,
         )
         return new_state, dict(log, total=d_loss)
+
+    # ------------------------------------------------------------------
+    # eval / observability (autoencoder.py:295-427)
+    # ------------------------------------------------------------------
+
+    def eval_params(self, state: VAETrainState) -> dict:
+        """ema_scope equivalent (autoencoder.py:264-277): EMA shadows (tracked
+        over the generator subtree) substituted into the full param tree."""
+        if self.use_ema and state.ema is not None:
+            params = dict(state.params)
+            params.update(ema_copy_to(state.ema, _tree_paths_with(state.params, self._g_keys())))
+            return params
+        return state.params
+
+    def eval_step(self, state: VAETrainState, batch: dict):
+        """validation_step (autoencoder.py:295-301): generator loss with raw
+        params, then again under the EMA scope (`*_ema` metrics)."""
+        rng, z_rng = next_rngs(state.rng, 1)
+        x = batch[self.input_key]
+
+        def _metrics(params):
+            _, recons, reg_log = self.forward(params, x, z_rng, reg_stats=state.reg_stats)
+            (loss, log), _ = self._loss_apply(
+                params["loss"], state.batch_stats, x, recons, state.step, 0, train=False
+            )
+            total = jnp.mean(loss)
+            if self.kl_weight > 0 and "kl_loss" in reg_log:
+                total = total + self.kl_weight * jnp.mean(reg_log["kl_loss"])
+            return dict(log, total=total)
+
+        metrics = {k.replace("train", "val", 1) if k.startswith("train") else k: v
+                   for k, v in _metrics(state.params).items()}
+        if self.use_ema and state.ema is not None:
+            ema_m = _metrics(self.eval_params(state))
+            metrics.update({
+                (k.replace("train", "val", 1) if k.startswith("train") else k) + "_ema": v
+                for k, v in ema_m.items()
+            })
+        return dataclasses.replace(state, rng=rng), metrics
+
+    def log_images(self, state: VAETrainState, batch: dict, num_img: int = 4,
+                   rng: Optional[jax.Array] = None, log_loss_images: bool = True) -> dict:
+        """inputs / reconstructions / diff maps (+ `_ema` variants, + the
+        loss's discriminator-logit grids) — autoencoder.py:373-427 and
+        autoencoder_hf.py:228-256. Returns numpy NHWC images in [-1,1]."""
+        import numpy as np
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        x = batch[self.input_key][:num_img]
+
+        def _recon_and_diffs(params, suffix=""):
+            _, recons, _ = self.forward(params, x, rng, reg_stats=state.reg_stats)
+            diff = jnp.clip(0.5 * jnp.abs(jnp.clip(recons, -1.0, 1.0) - x), 0.0, 1.0)
+            return {
+                f"reconstructions{suffix}": np.asarray(recons),
+                f"diff{suffix}": np.asarray(2.0 * diff - 1.0),
+                f"diff_boost{suffix}": np.asarray(
+                    2.0 * jnp.clip(self.diff_boost_factor * diff, 0.0, 1.0) - 1.0
+                ),
+            }
+
+        log = {"inputs": np.asarray(x)}
+        log.update(_recon_and_diffs(state.params))
+        if self.use_ema and state.ema is not None:
+            log.update(_recon_and_diffs(self.eval_params(state), suffix="_ema"))
+
+        if log_loss_images and hasattr(self.loss, "log_images"):
+            # discriminator-logit visualization (vae_lpips_discr.py:202-309)
+            try:
+                variables = {"params": state.params["loss"]}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                recons = jnp.asarray(log["reconstructions"])
+                log.update(self.loss.apply(variables, x, recons, method="log_images"))
+            except Exception:  # pragma: no cover - visualization is best-effort
+                import logging
+
+                logging.getLogger(__name__).exception("loss.log_images failed")
+        return log
 
     # ------------------------------------------------------------------
 

@@ -37,6 +37,36 @@ def is_image_tensor(x) -> bool:
     return hasattr(x, "ndim") and x.ndim == 4 and x.shape[-1] in (1, 3, 4)
 
 
+def make_grid_nhwc(batch: np.ndarray, ncols: int = 4, pad: int = 0) -> np.ndarray:
+    """Tile a (b, h, w, c) batch into one (H, W, c) image, row-major with
+    `ncols` columns (torchvision make_grid role, NHWC layout)."""
+    batch = np.asarray(batch)
+    b, h, w, c = batch.shape
+    ncols = max(1, min(ncols, b))
+    nrows = (b + ncols - 1) // ncols
+    out = np.zeros((nrows * (h + pad), ncols * (w + pad), c), batch.dtype)
+    for i in range(b):
+        r, col = divmod(i, ncols)
+        out[r * (h + pad) : r * (h + pad) + h, col * (w + pad) : col * (w + pad) + w] = batch[i]
+    return out
+
+
+def diverging_colormap(x: np.ndarray) -> np.ndarray:
+    """Map values in [0,1] to a blue→white→red diverging RGB ramp (float [0,1]).
+
+    Numpy stand-in for the reference's `cet_gwv_r` colorcet map
+    (vae_lpips_discr.py:223): 0.5 is neutral white, extremes are saturated."""
+    x = np.clip(np.asarray(x, np.float32), 0.0, 1.0)
+    t = np.abs(x - 0.5) * 2.0  # 0 at center, 1 at extremes
+    lo = np.array([0.18, 0.33, 0.80], np.float32)  # cold end
+    hi = np.array([0.80, 0.20, 0.15], np.float32)  # hot end
+    white = np.ones(3, np.float32)
+    cold = white[None] + (lo - white)[None] * t[..., None].reshape(-1, 1)
+    warm = white[None] + (hi - white)[None] * t[..., None].reshape(-1, 1)
+    flat = np.where((x >= 0.5).reshape(-1, 1), warm, cold)
+    return flat.reshape(x.shape + (3,))
+
+
 def array_to_pil(x: np.ndarray):
     """[-1,1] or [0,1] HWC float → PIL RGB."""
     from PIL import Image

@@ -11,10 +11,12 @@ def test_class_embedder():
     from neurosis_tpu.modules.encoders.misc import ClassEmbedder
 
     emb = ClassEmbedder(embed_dim=16, n_classes=10, input_key="cls")
-    v = emb.init(jax.random.PRNGKey(0), jnp.asarray([1, 2, 10]))  # 10 = ucg class
-    (out,) = emb.apply(v, jnp.asarray([1, 2, 10]))
+    v = emb.init(jax.random.PRNGKey(0), jnp.asarray([1, 2, 9]))  # 9 = ucg class
+    # table is exactly n_classes rows (reference nn.Embedding(n_classes, dim))
+    assert v["params"]["embedding"]["embedding"].shape == (10, 16)
+    (out,) = emb.apply(v, jnp.asarray([1, 2, 9]))
     assert out.shape == (3, 16)
-    assert emb.uncond_class() == 10
+    assert emb.uncond_class() == 9  # classed.py:28-32
 
 
 def test_spatial_rescaler():

@@ -14,7 +14,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -82,8 +82,66 @@ def nearest_upsample_2x(x: jax.Array) -> jax.Array:
     return x.reshape(b, h * 2, w * 2, c)
 
 
+def _pallas_conv_enabled() -> bool:
+    import os
+
+    if os.environ.get("NEUROSIS_PALLAS_CONV", "").lower() in ("0", "false"):
+        return False
+    if os.environ.get("NEUROSIS_PALLAS_CONV", "").lower() in ("1", "true"):
+        return True
+    return False  # default off until the on-chip A/B says otherwise
+
+
+class _RawConv(nn.Module):
+    """nn.Conv-compatible param layout ({kernel, bias}) with a switchable
+    compute path: XLA conv_general_dilated or the Pallas implicit-GEMM 3x3
+    kernel (ops/conv3x3.py). Named 'Conv_0' inside Conv2d so checkpoints are
+    byte-identical to the nn.Conv tree."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    pad: int
+    use_bias: bool
+    dtype: Optional[Dtype]
+    kernel_init: Any = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kshape = (self.kernel_size, self.kernel_size, in_ch, self.features)
+        kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
+        # match nn.Conv's promote_dtype: dtype=None promotes with the fp32
+        # params (bf16 activations compute in fp32 unless dtype=bf16 is set)
+        dtype = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        kernel = kernel.astype(dtype)
+        x = x.astype(dtype)
+        if self.use_pallas:
+            from neurosis_tpu.ops.conv3x3 import conv3x3
+
+            y = conv3x3(x, kernel)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                (self.stride, self.stride),
+                ((self.pad, self.pad), (self.pad, self.pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
 class Conv2d(nn.Module):
-    """3x3/1x1/kxk NHWC conv with torch-style explicit padding."""
+    """3x3/1x1/kxk NHWC conv with torch-style explicit padding.
+
+    On TPU with NEUROSIS_PALLAS_CONV=1, stride-1 SAME 3x3 bf16 convs at
+    MXU-worthy shapes dispatch to the Pallas implicit-GEMM kernel
+    (ops/conv3x3.py); everything else stays on XLA's conv emitter. The param
+    tree is identical either way."""
 
     features: int
     kernel_size: int = 3
@@ -97,16 +155,33 @@ class Conv2d(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         pad = self.padding if self.padding is not None else self.kernel_size // 2
         kernel_init = nn.initializers.zeros_init() if self.zero_init else nn.initializers.lecun_normal()
-        return nn.Conv(
+
+        use_pallas = False
+        if _pallas_conv_enabled():
+            try:
+                from neurosis_tpu.ops.conv3x3 import conv3x3_supported
+
+                dtype = self.dtype or x.dtype
+                use_pallas = jax.default_backend() == "tpu" and conv3x3_supported(
+                    x.shape,
+                    (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
+                    self.stride,
+                    pad,
+                    dtype,
+                )
+            except Exception:  # pragma: no cover - dispatch probe only
+                use_pallas = False
+
+        return _RawConv(
             features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)),
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            pad=pad,
             use_bias=self.use_bias,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             kernel_init=kernel_init,
-            bias_init=nn.initializers.zeros_init(),
+            use_pallas=use_pallas,
+            name="Conv_0",
         )(x)
 
 

@@ -29,12 +29,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# block sweep on v5e (4096 tokens, d=64, bf16, fwd+bwd TF/s): 256/512→47.6,
-# 512/512→37.5, 512/1024→79.5, 1024/1024→82.7 (VMEM-risky at d=160), 512/2048→78.8
+# Per-head-dim (bq, bk) table from the round-3 on-chip sweep
+# (tools/flash_sweep.py, v5e, bf16 fwd+bwd, scan-amortized, host-barrier
+# timing). Winners per shape, TF/s in parentheses:
+#   d=40  S=16384: 512/1024 (46.0) > 1024/1024 (44.9) > 512/512 (43.1)
+#   d=64  S=4096:  512/1024 (49.9) ≈ 1024/1024 (49.3) > 512/512 (47.2)
+#   d=80  S=4096:  512/2048 (61.6) > 1024/1024 (60.1) > 512/1024 (58.5)
+#   d=160 S=4096:  1024/1024 (78.7) > 512/1024 (77.0) > 512/512 (71.9)
+#   d=512 S=4096:  256/512 (68.2) > 512/512 (66.4); bigger blocks OOM VMEM
+_BLOCK_TABLE = {48: (512, 1024), 64: (512, 1024), 80: (512, 2048), 160: (1024, 1024)}
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
 _STAT_ROWS = 8  # fp32 min sublane tile for the (rows, S) stat arrays
 NEG_INF = -1e30
+
+
+def _pick_blocks(d_pad: int) -> tuple:
+    if d_pad in _BLOCK_TABLE:
+        return _BLOCK_TABLE[d_pad]
+    if d_pad >= 256:
+        return (256, 512)  # VMEM-bound: d-major blocks are (d, S)
+    return (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -290,19 +305,20 @@ def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int = 0,
+    block_k: int = 0,
 ) -> jax.Array:
-    """Flash attention over [B, H, S, D]; D-major internally, pads S/D to tiles."""
+    """Flash attention over [B, H, S, D]; D-major internally, pads S/D to tiles.
+
+    block_q/block_k = 0 → the per-head-dim sweep table (_BLOCK_TABLE)."""
     b, h, sq, d = q.shape
     skv = k.shape[2]
     scale = 1.0 / math.sqrt(d)  # scale by TRUE head dim, before padding
 
     d_pad = _round_up(d, 16)  # sublane tile (bf16); multiple of 8 for fp32 too
-    if d <= 64 and block_q == DEFAULT_BLOCK_Q:
-        # small head dims leave VMEM headroom for bigger q blocks (sweep:
-        # bq1024/bk1024 = 82.7 TF/s f+b vs 79.5 at bq512/bk1024)
-        block_q = 1024
+    tq, tk = _pick_blocks(d_pad)
+    block_q = block_q or tq
+    block_k = block_k or tk
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(skv, 128))
     sq_pad = _round_up(sq, block_q)

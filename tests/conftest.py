@@ -9,6 +9,8 @@ import os
 # NOTE: in this environment the 'axon' TPU plugin IGNORES the JAX_PLATFORMS env
 # var — the config flag is the only thing that actually forces CPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Pallas kernels run in the interpreter on the CPU test mesh
+os.environ.setdefault("NEUROSIS_PALLAS_INTERPRET", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -19,6 +19,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# persistent compile cache: repeated sweeps skip the slow remote compiles
+_cache = __import__('os').path.expanduser('~/.cache/neurosis_tpu_xla')
+__import__('os').makedirs(_cache, exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', _cache)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
 import jax.numpy as jnp
 import numpy as np
 

@@ -30,6 +30,14 @@ SDXL_UNET_KW = dict(
     adm_in_channels=2816, use_linear_in_transformer=True,
 )
 
+# reference SD1.5 UNet (configs/sd15 surface): fixed 8 heads -> d=40/80/160,
+# attention at every level incl. 16384 tokens at 1024px (the d=40 sweep shape)
+SD15_UNET_KW = dict(
+    in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
+    attention_resolutions=[4, 2, 1], channel_mult=[1, 2, 4, 4], num_heads=8,
+    transformer_depth=1, context_dim=768,
+)
+
 
 def _jax_with_cpu_honored():
     """Import jax, honoring JAX_PLATFORMS=cpu via the config knob (the 'axon'
@@ -102,8 +110,18 @@ def main() -> None:
     else:
         remat_policy = ("none", "none", "dots_names")
 
+    sd15 = mode == "sd15"
+    if sd15:
+        if isinstance(remat_policy, tuple) and len(remat_policy) != 4:
+            remat_policy = "dots_names" if remat_env == "1" else remat_policy
+        model_kw = {**SD15_UNET_KW}
+        if not on_tpu:
+            model_kw["channel_mult"] = [1, 2]
+            model_kw["attention_resolutions"] = [2]
+    else:
+        model_kw = {**SDXL_UNET_KW, "transformer_depth": [1, 2, 10] if on_tpu else [1, 1, 1]}
     model = UNetModel(
-        **{**SDXL_UNET_KW, "transformer_depth": [1, 2, 10] if on_tpu else [1, 1, 1]},
+        **model_kw,
         use_checkpoint=use_remat,
         remat_policy=remat_policy,
         dtype=jnp.bfloat16,
@@ -112,8 +130,8 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, res, res, 4), jnp.bfloat16)
     t = jnp.ones((batch,), jnp.float32) * 500.0
-    ctx = jnp.zeros((batch, 77, 2048), jnp.bfloat16)
-    y = jnp.zeros((batch, 2816), jnp.bfloat16)
+    ctx = jnp.zeros((batch, 77, 768 if sd15 else 2048), jnp.bfloat16)
+    y = None if sd15 else jnp.zeros((batch, 2816), jnp.bfloat16)
 
     print("bench: tracing param shapes...", file=sys.stderr, flush=True)
     shapes = jax.eval_shape(lambda: model.init(rng, x, t, ctx, y=y))["params"]
@@ -199,7 +217,7 @@ def main() -> None:
     if on_tpu:
         print("bench: compiling no-remat fwd for model-flops accounting...", file=sys.stderr, flush=True)
         try:
-            plain = UNetModel(**SDXL_UNET_KW, use_checkpoint=False, dtype=jnp.bfloat16)
+            plain = UNetModel(**model_kw, use_checkpoint=False, dtype=jnp.bfloat16)
             spec = jax.tree_util.tree_map(lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), shapes)
             fwd_compiled = (
                 jax.jit(lambda p, xin: plain.apply({"params": p}, xin, t, ctx, y=y, deterministic=True))
@@ -239,9 +257,9 @@ def main() -> None:
             {
                 # headline = conventional MODEL-flops MFU (3x no-remat fwd);
                 # remat recompute counts toward hw_flops_util only.
-                "metric": "sdxl_1024px_train_mfu"
+                "metric": (("sd15" if sd15 else "sdxl") + "_1024px_train_mfu")
                 if on_tpu
-                else "sdxl_tiny_train_steps_per_sec_cpu",
+                else ("sd15" if sd15 else "sdxl") + "_tiny_train_steps_per_sec_cpu",
                 "value": round(mfu, 4) if on_tpu else round(steps_per_sec, 4),
                 "unit": "mfu" if on_tpu else "steps/s",
                 "vs_baseline": round(mfu / 0.40, 4) if on_tpu else 0.0,

@@ -82,27 +82,71 @@ class CrossAttention(nn.Module):
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
 
-        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        to_q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")
+        to_k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")
+        to_v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")
+        to_out = Dense(self.query_dim, dtype=self.dtype, name="to_out.0")
 
-        b, s, _ = q.shape
-        t = k.shape[1]
-        q = q.reshape(b, s, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        k = k.reshape(b, t, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        v = v.reshape(b, t, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-
-        # ring attention only for self-attention (q and kv share the sharded seq)
         axis = self.context_axis if context is None else None
-        out = dot_product_attention(q, k, v, context_axis=axis)
-        # the backends name their outputs/residuals ("attn_out"/"attn_lse",
-        # see ops/attention.py + ops/flash_attention.py) so the "names" remat
-        # policy can skip re-running the attention kernel in the bwd pass
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, inner)
+        from neurosis_tpu.ops.attention import use_dmajor_path
 
-        out = Dense(self.query_dim, dtype=self.dtype, name="to_out.0")(out)
+        if axis is None and use_dmajor_path(x.shape[1]):
+            out = self._folded(x, ctx, to_q, to_k, to_v, to_out)
+        else:
+            q = to_q(x)
+            k = to_k(ctx)
+            v = to_v(ctx)
+
+            b, s, _ = q.shape
+            t = k.shape[1]
+            q = q.reshape(b, s, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+            k = k.reshape(b, t, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+            v = v.reshape(b, t, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+            # ring attention only for self-attention (q/kv share the sharded seq)
+            out = dot_product_attention(q, k, v, context_axis=axis)
+            # the backends name their outputs/residuals ("attn_out"/"attn_lse",
+            # see ops/attention.py + ops/flash_attention.py) so the "names"
+            # remat policy can skip re-running the attention kernel in bwd
+            out = out.transpose(0, 2, 1, 3).reshape(b, s, inner)
+            out = to_out(out)
         if self.dropout > 0.0:
             out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        return out
+
+    def _folded(self, x, ctx, to_q, to_k, to_v, to_out):
+        """Zero-transpose projection path (+3.4% on the block, exact same
+        math — tools/transpose_fold_bench.py): q/k/v projections emit the
+        flash kernel's native D-major (B,H,D,S) layout directly via einsum
+        output permutation, and the out-projection consumes it.
+
+        The Dense submodules are invoked once on a dummy token so their
+        params exist under the UNCHANGED tree paths (to_q/Dense_0/kernel…);
+        XLA dead-code-eliminates the dummy matmuls. The einsums then read
+        the kernels directly."""
+        from neurosis_tpu.ops.attention import dot_product_attention_dmajor
+
+        b, s, c = x.shape
+        c_ctx = ctx.shape[-1]
+        heads, dim = self.heads, self.dim_head
+        for mod, tokens in ((to_q, x), (to_k, ctx), (to_v, ctx), (to_out, x)):
+            _ = mod(jnp.zeros((1, 1, tokens.shape[-1] if mod is not to_out else heads * dim), tokens.dtype))
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+
+        def kernel_of(mod):
+            return mod.variables["params"]["Dense_0"]["kernel"].astype(dt)
+
+        xq = x.astype(dt)
+        xc = ctx.astype(dt)
+        qt = jnp.einsum("bsc,chd->bhds", xq, kernel_of(to_q).reshape(c, heads, dim))
+        kt = jnp.einsum("bsc,chd->bhds", xc, kernel_of(to_k).reshape(c_ctx, heads, dim))
+        vt = jnp.einsum("bsc,chd->bhds", xc, kernel_of(to_v).reshape(c_ctx, heads, dim))
+        ot = dot_product_attention_dmajor(qt, kt, vt)
+        wo = kernel_of(to_out).reshape(heads, dim, self.query_dim)
+        out = jnp.einsum("bhds,hdc->bsc", ot, wo)
+        bias = to_out.variables["params"]["Dense_0"].get("bias")
+        if bias is not None:
+            out = out + bias.astype(dt)
         return out
 
 

@@ -17,8 +17,12 @@ from typing import Optional, Tuple
 import jax
 from flax import linen as nn
 
-from neurosis_tpu.models.text_encoder.t5 import FrozenT5Embedder
 from neurosis_tpu.modules.encoders.embedding import AbstractEmbModel, FrozenCLIPEmbedder
+
+# NOTE: FrozenT5Embedder is imported lazily in __call__ — t5.py itself imports
+# this package's `embedding` module, and a module-level import here closes an
+# import cycle (t5 → encoders.__init__ → clip_t5 → t5) that breaks whenever
+# models.text_encoder.t5 is the first entry point.
 
 
 class FrozenCLIPT5Encoder(AbstractEmbModel):
@@ -61,6 +65,8 @@ class FrozenCLIPT5Encoder(AbstractEmbModel):
             dtype=self.dtype,
             name="clip_encoder",
         )(clip_ids)[0]
+        from neurosis_tpu.models.text_encoder.t5 import FrozenT5Embedder
+
         t5_z = FrozenT5Embedder(
             version=self.t5_version,
             max_length=self.t5_max_length,

@@ -87,9 +87,9 @@ def _pallas_conv_enabled() -> bool:
 
     if os.environ.get("NEUROSIS_PALLAS_CONV", "").lower() in ("0", "false"):
         return False
-    if os.environ.get("NEUROSIS_PALLAS_CONV", "").lower() in ("1", "true"):
-        return True
-    return False  # default off until the on-chip A/B says otherwise
+    # default ON: +3.9% SDXL step (2.252 vs 2.168 steps/s) with the win-table
+    # gate (tools/conv_bench.py A/B); NEUROSIS_PALLAS_CONV=0 disables
+    return True
 
 
 class _RawConv(nn.Module):

@@ -56,6 +56,32 @@ def _use_pallas() -> bool:
         return False
 
 
+def use_dmajor_path(q_seq: int) -> bool:
+    """True when the folded D-major projection path should feed the Pallas
+    kernel directly (modules/attention.py): TPU + flash-eligible q length +
+    not disabled via NEUROSIS_FOLD_QKV=0."""
+    if os.environ.get("NEUROSIS_FOLD_QKV", "").lower() in ("0", "false"):
+        return False
+    return _use_pallas() and q_seq >= _PALLAS_MIN_SEQ
+
+
+@functools.partial(jax.named_call, name="sdpa_dmajor")
+def dot_product_attention_dmajor(qt: jax.Array, kt: jax.Array, vt: jax.Array) -> jax.Array:
+    """Attention over D-major [B, H, D, S] tensors, D-major output.
+
+    Pallas zero-transpose entry on TPU; the jnp fallback transposes in/out
+    (CPU tests — numerics identical, layout is a perf concern only)."""
+    if _use_pallas():
+        from .flash_attention import flash_attention_dmajor
+
+        try:
+            return flash_attention_dmajor(qt, kt, vt)
+        except Exception:  # pragma: no cover - kernel unsupported shape fallback
+            pass
+    o = _xla_attention(qt.swapaxes(2, 3), kt.swapaxes(2, 3), vt.swapaxes(2, 3))
+    return o.swapaxes(2, 3)
+
+
 @functools.partial(jax.named_call, name="sdpa")
 def dot_product_attention(
     q: jax.Array,

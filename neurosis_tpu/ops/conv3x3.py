@@ -35,17 +35,18 @@ from jax.experimental.pallas import tpu as pltpu
 # CPU correctness tests run the kernel in the Pallas interpreter
 _INTERPRET = os.environ.get("NEUROSIS_PALLAS_INTERPRET", "") in ("1", "true")
 
-# VMEM budget (v5e ~16 MiB augmented by spill tolerance): acc + w + 2x tile
+# default scoped-VMEM limit is 16 MiB (xla_tpu_scoped_vmem_limit_kib)
 _VMEM_LIMIT = 14 * 1024 * 1024
 
 
-def _kernel(x_hbm, w_ref, o_ref, acc_ref, xt_ref, sem, *, bh, width, bc, feat):
+def _kernel(x_hbm, w_ref, o_ref, acc_ref, xt_ref, sem, *, bh, width, w_halo, bc, feat):
     nc = pl.num_programs(2)
     bi = pl.program_id(0)
     hi = pl.program_id(1)
     ci = pl.program_id(2)
 
-    # halo DMA: rows [hi*bh, hi*bh + bh+2) of the H-padded input
+    # halo DMA: rows [hi*bh, hi*bh + bh+2) of the H-padded input; the W dim
+    # is pre-padded to w_halo (multiple of 8 — DMA sublane tiling)
     cp = pltpu.make_async_copy(
         x_hbm.at[bi, pl.ds(hi * bh, bh + 2), :, pl.ds(ci * bc, bc)],
         xt_ref,
@@ -75,50 +76,63 @@ def _kernel(x_hbm, w_ref, o_ref, acc_ref, xt_ref, sem, *, bh, width, bc, feat):
         o_ref[0] = acc_ref[:].reshape(bh, width, feat).astype(o_ref.dtype)
 
 
-def _pick_bh(h: int, w_len: int, feat: int, bc: int) -> int:
-    """Largest row block with acc (bh*W, F) fp32 + tile + weights in VMEM."""
+def _vmem_use(bh: int, w_len: int, w_halo: int, bc: int, feat: int) -> int:
+    """Pipeline VMEM: fp32 acc + DOUBLE-buffered w/out blocks + halo tile."""
+    acc = bh * w_len * feat * 4
+    wbuf = 2 * 9 * bc * feat * 2
+    out = 2 * bh * w_len * feat * 2
+    tile = (bh + 2) * w_halo * bc * 2
+    return acc + wbuf + out + tile
+
+
+def _round128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def _pick_blocks(h: int, w_len: int, c: int, feat: int):
+    """(bh, bc) fitting the scoped-VMEM limit with the largest GEMM tiles.
+    c/feat are the 128-padded dims (lane tiling: DMA slices and blocks must
+    be 128-aligned on the minor dim)."""
+    w_halo = ((w_len + 2 + 7) // 8) * 8
+    bcs = [bc for bc in (384, 256, 128) if c % bc == 0]
     for bh in (32, 16, 8, 4, 2, 1):
-        if h % bh:
+        if h % bh or bh * w_len < 128:
             continue
-        acc = bh * w_len * feat * 4
-        tile = 2 * (bh + 2) * (w_len + 2) * bc * 2
-        wbuf = 9 * bc * feat * 2
-        if acc + tile + wbuf <= _VMEM_LIMIT and bh * w_len >= 128:
-            return bh
-    return 0
-
-
-def _pick_bc(c: int) -> int:
-    for bc in (512, 384, 256, 128):
-        if c % bc == 0:
-            return bc
-    return c  # non-multiple-of-128 channel counts (320/960): single block
+        for bc in bcs:
+            if _vmem_use(bh, w_len, w_halo, bc, feat) <= _VMEM_LIMIT:
+                return bh, bc
+    return 0, 0
 
 
 def _conv_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
     b, h, width, c = x.shape
     feat = w.shape[3]
-    bc = _pick_bc(c)
-    bh = _pick_bh(h, width, feat, bc)
+    # lane tiling: C/F padded to multiples of 128 (320/960-channel UNet levels)
+    c_pad, f_pad = _round128(c), _round128(feat)
+    bh, bc = _pick_blocks(h, width, c_pad, f_pad)
     if bh == 0:
         raise ValueError(f"no VMEM-feasible block for shape {x.shape}->{feat}")
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    grid = (b, h // bh, c // bc)
+    # W halo padded to a multiple of 8: the DMA'd tile's sublane dim
+    w_halo = ((width + 2 + 7) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, w_halo - width - 1), (0, c_pad - c)))
+    if (c_pad, f_pad) != (c, feat):
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad - c), (0, f_pad - feat)))
+    grid = (b, h // bh, c_pad // bc)
 
-    w_spec = pl.BlockSpec((3, 3, bc, feat), lambda bi, hi, ci: (0, 0, ci, 0))
-    o_spec = pl.BlockSpec((1, bh, width, feat), lambda bi, hi, ci: (bi, hi, 0, 0))
+    w_spec = pl.BlockSpec((3, 3, bc, f_pad), lambda bi, hi, ci: (0, 0, ci, 0))
+    o_spec = pl.BlockSpec((1, bh, width, f_pad), lambda bi, hi, ci: (bi, hi, 0, 0))
 
-    kernel = functools.partial(_kernel, bh=bh, width=width, bc=bc, feat=feat)
-    return pl.pallas_call(
+    kernel = functools.partial(_kernel, bh=bh, width=width, w_halo=w_halo, bc=bc, feat=f_pad)
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), w_spec],
         out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, width, feat), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, width, f_pad), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bh * width, feat), jnp.float32),
-            pltpu.VMEM((bh + 2, width + 2, bc), x.dtype),
+            pltpu.VMEM((bh * width, f_pad), jnp.float32),
+            pltpu.VMEM((bh + 2, w_halo, bc), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -131,6 +145,7 @@ def _conv_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
         ),
         interpret=_INTERPRET,
     )(xp, w)
+    return out[..., :feat] if f_pad != feat else out
 
 
 def _xla_conv(x, w):
@@ -151,20 +166,48 @@ def _vjp_fwd(x, w):
 
 def _vjp_bwd(res, dy):
     x, w = res
-    # dgrad: stride-1 SAME conv of dy with the flipped, in/out-swapped filter
+    # dgrad: stride-1 SAME conv of dy with the flipped, in/out-swapped filter.
+    # A/B (tools/conv_bench.py): the Pallas dgrad wins when its accumulator
+    # F (= x's C) stays ≤1280 and channels are lane-aligned; the 2560-concat
+    # dgrad loses ~14% — keep XLA there.
     w_flip = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
-    dx = _conv_fwd(dy, w_flip.astype(dy.dtype))
-    # wgrad: XLA (x as NHWC lhs, dy as filter via batch/feature transposes)
-    _, wgrad = jax.vjp(lambda wv: _xla_conv(x, wv), w)
-    (dw,) = wgrad(dy)
-    return dx, dw
+    c_in = x.shape[-1]
+    f_out = w.shape[3]
+    if c_in <= 1280 and c_in % 128 == 0 and f_out % 128 == 0:
+        dx = _conv_fwd(dy, w_flip.astype(dy.dtype))
+    else:
+        dx = jax.lax.conv_general_dilated(
+            dy,
+            w_flip.astype(dy.dtype),
+            (1, 1),
+            ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    # wgrad as ONE direct XLA conv (a jax.vjp of the fwd would re-run the
+    # whole forward conv just to build the closure): slide dy (as the filter)
+    # over the padded input with channels↔batch swapped —
+    #   dw[ky,kx,c,f] = Σ_{b,i,j} x_pad[b,i+ky,j+kx,c] · dy[b,i,j,f]
+    lhs = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).transpose(3, 1, 2, 0)  # (C, H+2, W+2, B)
+    rhs = dy.transpose(1, 2, 0, 3)  # (H, W, B, F)
+    dw = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        (1, 1),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,  # fp32 accumulate at bf16 MXU rate
+    ).transpose(1, 2, 0, 3)  # (C, 3, 3, F) -> (3, 3, C, F)
+    return dx, dw.astype(w.dtype)
 
 
 conv3x3.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def conv3x3_supported(x_shape, w_shape, stride, padding, dtype) -> bool:
-    """Gate for layers.Conv2d: 3x3, stride 1, pad 1, bf16, MXU-worthy dims."""
+    """Gate for layers.Conv2d: 3x3, stride 1, pad 1, bf16, MXU-worthy dims.
+
+    Channels must be lane-aligned (128-multiples): the A/B shows the padded
+    320-channel level loses ~7% to XLA, so it stays on the XLA emitter."""
     if tuple(w_shape[:2]) != (3, 3) or stride != 1 or padding != 1:
         return False
     if dtype not in (jnp.bfloat16,):
@@ -173,5 +216,6 @@ def conv3x3_supported(x_shape, w_shape, stride, padding, dtype) -> bool:
     feat = w_shape[3]
     if c < 128 or feat < 128 or (h * width) < 1024:
         return False
-    bc = _pick_bc(c)
-    return _pick_bh(h, width, feat, bc) > 0
+    if c % 128 or feat % 128:
+        return False
+    return _pick_blocks(h, width, c, feat)[0] > 0

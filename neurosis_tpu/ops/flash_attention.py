@@ -331,3 +331,37 @@ def flash_attention(
 
     ot = _flash(qt, kt, vt, scale, block_q, block_k, skv)
     return ot[:, :, :d, :sq].swapaxes(2, 3)
+
+
+def flash_attention_dmajor(
+    qt: jax.Array,
+    kt: jax.Array,
+    vt: jax.Array,
+    block_q: int = 0,
+    block_k: int = 0,
+) -> jax.Array:
+    """Flash attention over D-major [B, H, D, S] tensors, returning D-major.
+
+    The zero-transpose entry: callers that PRODUCE q/k/v in the kernel's
+    native layout (projection einsums emitting bhds — modules/attention.py
+    folded path, +3.4% on the block per tools/transpose_fold_bench.py) skip
+    the (B,H,S,D)↔(B,H,D,S) shuffles entirely."""
+    b, h, d, sq = qt.shape
+    skv = kt.shape[3]
+    scale = 1.0 / math.sqrt(d)
+
+    d_pad = _round_up(d, 16)
+    tq, tk = _pick_blocks(d_pad)
+    block_q = block_q or tq
+    block_k = block_k or tk
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(skv, 128))
+    sq_pad = _round_up(sq, block_q)
+    skv_pad = _round_up(skv, block_k)
+
+    qt = _pad_to(_pad_to(qt, 2, d_pad), 3, sq_pad)
+    kt = _pad_to(_pad_to(kt, 2, d_pad), 3, skv_pad)
+    vt = _pad_to(_pad_to(vt, 2, d_pad), 3, skv_pad)
+
+    ot = _flash(qt, kt, vt, scale, block_q, block_k, skv)
+    return ot[:, :, :d, :sq]

@@ -18,7 +18,9 @@ def test_checkpoint_save_and_resume(tmp_path):
     state, frozen = engine.init(jax.random.PRNGKey(0), batch)
     state, _ = jax.jit(engine.train_step)(state, frozen, batch)
 
-    trainer = Trainer(engine, default_root_dir=str(tmp_path))
+    from neurosis_tpu.trainer.loop import HashTokenizer
+
+    trainer = Trainer(engine, default_root_dir=str(tmp_path), tokenizer=HashTokenizer(max_length=8))
     cb = CheckpointCallback(every_n_train_steps=1)
     cb.on_train_batch_end(trainer, state, frozen, batch, {}, int(state.step))
     cb.on_fit_end(trainer, state)

@@ -35,12 +35,14 @@ def test_conv3x3_fwd_bwd_parity(c, f, h, w):
 def test_conv3x3_supported_gate():
     from neurosis_tpu.ops.conv3x3 import conv3x3_supported
 
-    ok = (1, 64, 64, 320)
-    assert conv3x3_supported(ok, (3, 3, 320, 320), 1, 1, jnp.bfloat16)
-    assert not conv3x3_supported(ok, (1, 1, 320, 320), 1, 0, jnp.bfloat16)  # 1x1
-    assert not conv3x3_supported(ok, (3, 3, 320, 320), 2, 1, jnp.bfloat16)  # stride
-    assert not conv3x3_supported(ok, (3, 3, 320, 320), 1, 1, jnp.float32)  # dtype
-    assert not conv3x3_supported((1, 8, 8, 320), (3, 3, 320, 320), 1, 1, jnp.bfloat16)  # tiny
+    ok = (1, 64, 64, 640)
+    assert conv3x3_supported(ok, (3, 3, 640, 640), 1, 1, jnp.bfloat16)
+    assert not conv3x3_supported(ok, (1, 1, 640, 640), 1, 0, jnp.bfloat16)  # 1x1
+    assert not conv3x3_supported(ok, (3, 3, 640, 640), 2, 1, jnp.bfloat16)  # stride
+    assert not conv3x3_supported(ok, (3, 3, 640, 640), 1, 1, jnp.float32)  # dtype
+    assert not conv3x3_supported((1, 8, 8, 640), (3, 3, 640, 640), 1, 1, jnp.bfloat16)  # tiny
+    # unaligned channels lose to XLA's emitter (A/B: padded 320 is -7%)
+    assert not conv3x3_supported((1, 64, 64, 320), (3, 3, 320, 320), 1, 1, jnp.bfloat16)
 
 
 def test_conv2d_param_tree_stable():

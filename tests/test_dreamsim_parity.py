@@ -22,8 +22,22 @@ from _reference_loader import _load  # noqa: E402
 
 @pytest.fixture(scope="module")
 def ref_dreamsim():
-    """Load reference vit.py + model.py with diffusers/torchvision stubs."""
+    """Load reference vit.py + model.py with diffusers/torchvision stubs.
+
+    The stubs are removed at module teardown — leaking a fake `torchvision`
+    into sys.modules breaks transformers imports in later test files."""
     from torch import nn
+
+    stub_names = [
+        "diffusers", "diffusers.configuration_utils", "diffusers.models",
+        "diffusers.models.modeling_utils", "torchvision",
+        "torchvision.transforms", "torchvision.transforms.v2",
+        "neurosis.modules.losses.dreamsim",
+        "neurosis.modules.losses.dreamsim.vit",
+        "neurosis.modules.losses.dreamsim.model",
+        "neurosis.modules.losses.dreamsim.common",
+    ]
+    saved = {n: sys.modules.get(n) for n in stub_names}
 
     # diffusers stubs (ConfigMixin/register_to_config/ModelMixin)
     cfg = types.ModuleType("diffusers.configuration_utils")
@@ -70,7 +84,12 @@ def ref_dreamsim():
     sys.modules["neurosis.modules.losses.dreamsim"] = pkg
     vit = _load("neurosis.modules.losses.dreamsim.vit", "modules/losses/dreamsim/vit.py")
     model = _load("neurosis.modules.losses.dreamsim.model", "modules/losses/dreamsim/model.py")
-    return vit, model
+    yield vit, model
+    for name, mod in saved.items():
+        if mod is None:
+            sys.modules.pop(name, None)
+        else:
+            sys.modules[name] = mod
 
 
 def _import_flax(template, torch_module, prefix=""):

@@ -54,3 +54,41 @@ def test_flash_forward_and_grads(interpreted_flash, shape):
     )(q, k, v)
     for a, b_ in zip(g_ref, g_fl):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
+
+
+def test_folded_dmajor_path_matches_standard(monkeypatch):
+    """The zero-transpose projection path (CrossAttention._folded) must be
+    numerically identical to the standard reshape/transpose path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neurosis_tpu.modules.attention import CrossAttention
+    import neurosis_tpu.ops.attention as opsattn
+
+    attn = CrossAttention(query_dim=64, heads=4, dim_head=16, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 512, 64), jnp.float32)
+    params = attn.init(jax.random.PRNGKey(0), x)
+
+    attn_x = CrossAttention(query_dim=64, context_dim=32, heads=4, dim_head=16, dtype=jnp.float32)
+    ctx = jnp.asarray(np.random.RandomState(1).randn(2, 77, 32), jnp.float32)
+    p2 = attn_x.init(jax.random.PRNGKey(1), x, ctx)
+
+    # standard path first (CPU → use_dmajor_path False)
+    ref = attn.apply(params, x)
+    ref2 = attn_x.apply(p2, x, ctx)
+
+    # force the folded branch (flash itself falls back to the jnp reference
+    # on CPU, so this isolates the projection-folding math)
+    monkeypatch.setattr(opsattn, "_use_pallas", lambda: True)
+    monkeypatch.setattr(
+        opsattn, "dot_product_attention_dmajor",
+        lambda qt, kt, vt: opsattn._xla_attention(
+            qt.swapaxes(2, 3), kt.swapaxes(2, 3), vt.swapaxes(2, 3)
+        ).swapaxes(2, 3),
+    )
+    folded = attn.apply(params, x)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(ref), atol=2e-5, rtol=1e-5)
+    # cross-attention (kv=77) through the folded path too
+    folded2 = attn_x.apply(p2, x, ctx)
+    np.testing.assert_allclose(np.asarray(folded2), np.asarray(ref2), atol=2e-5, rtol=1e-5)

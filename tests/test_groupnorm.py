@@ -11,11 +11,6 @@ from neurosis_tpu.modules.layers import GroupNorm32  # noqa: E402
 
 def _set_params(template, scale, bias):
     """Fill the (implementation-dependent) GroupNorm param tree."""
-
-    def fill(leaf):
-        arr = scale if leaf.shape == scale.shape and "scale" else None
-        return leaf
-
     # template: {"params": {...}} with exactly one scale + one bias leaf
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     out = []

@@ -31,7 +31,7 @@ SHAPES = [
     (32, 32, 2560, 1280),  # concat skip
 ]
 B = 2
-ITERS = 10
+ITERS = 50  # amortize the ~30ms remote dispatch+transfer overhead
 
 
 def bench(fn, x, w, fwd_only=False):

@@ -42,6 +42,7 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
 _STAT_ROWS = 8  # fp32 min sublane tile for the (rows, S) stat arrays
 NEG_INF = -1e30
+LOG2_E = 1.4426950408889634
 
 
 def _pick_blocks(d_pad: int) -> tuple:
@@ -92,16 +93,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_scr, l_scr, *, s
     kt = k_ref[0, 0]  # (D, BK)
     vt = v_ref[0, 0]  # (D, BK)
 
-    # st[k, q] — contract D over sublanes; BQ at full lane width
-    st = _dg(kt, qt, ((0,), (0,))) * scale  # (BK, BQ)
+    # st[k, q] in BASE-2 log space — contract D over sublanes, BQ at full
+    # lane width. Folding log2(e) into the scale turns both transcendentals
+    # into raw exp2 (the VPU primitive; exp lowers to exp2+mul per element).
+    st = _dg(kt, qt, ((0,), (0,))) * (scale * LOG2_E)  # (BK, BQ)
     row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
     st = jnp.where(row < kv_len, st, NEG_INF)
 
-    m_prev = m_scr[0:1, :]  # (1, BQ)
+    m_prev = m_scr[0:1, :]  # (1, BQ), base-2
     m_cur = jnp.max(st, axis=0, keepdims=True)  # (1, BQ)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)  # (1, BQ)
-    pt = jnp.exp(st - m_new)  # (BK, BQ)
+    alpha = jnp.exp2(m_prev - m_new)  # (1, BQ)
+    pt = jnp.exp2(st - m_new)  # (BK, BQ)
 
     l_new = alpha * l_scr[0:1, :] + jnp.sum(pt, axis=0, keepdims=True)
     # o^T (D, BQ) += v^T (D, BK) @ p^T (BK, BQ) — contract BK
@@ -113,7 +116,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_scr, l_scr, *, s
     def _finalize():
         l = l_scr[0:1, :]
         o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
-        lse = m_scr[0:1, :] + jnp.log(jnp.maximum(l, 1e-30))
+        # lse reported in NATURAL log — the bwd kernels are base-e
+        lse = m_scr[0:1, :] * (1.0 / LOG2_E) + jnp.log(jnp.maximum(l, 1e-30))
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 

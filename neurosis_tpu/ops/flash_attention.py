@@ -177,10 +177,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, acc_ref
     lse = lse_ref[0, 0][0:1, :]  # (1, BQ)
     di = di_ref[0, 0][0:1, :]  # (1, BQ)
 
-    st = _dg(kt, qt, ((0,), (0,))) * scale  # (BK, BQ)
+    # base-2 recompute: p = exp(s - lse) = exp2(s·log2e - lse·log2e); the
+    # row-wise lse rescale is BQ muls vs the BK·BQ muls exp would lower to
+    st = _dg(kt, qt, ((0,), (0,))) * (scale * LOG2_E)  # (BK, BQ)
     row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
     st = jnp.where(row < kv_len, st, NEG_INF)
-    pt = jnp.exp(st - lse)  # (BK, BQ)
+    pt = jnp.exp2(st - lse * LOG2_E)  # (BK, BQ)
 
     dpt = _dg(vt, dot, ((0,), (0,)))  # (BK, BQ) — v·do over D sublanes
     dst = pt * (dpt - di) * scale  # (BK, BQ)
@@ -210,8 +212,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
     lse = lse_ref[0, 0][0:1, :]  # (1, BQ)
     di = di_ref[0, 0][0:1, :]  # (1, BQ)
 
-    st = _dg(kt, qt, ((0,), (0,))) * scale  # (BK, BQ)
-    pt = jnp.exp(st - lse)
+    st = _dg(kt, qt, ((0,), (0,))) * (scale * LOG2_E)  # (BK, BQ)
+    pt = jnp.exp2(st - lse * LOG2_E)
     row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
     pt = jnp.where(row < kv_len, pt, 0.0)
 

@@ -127,7 +127,7 @@ def _conv_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), w_spec],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), w_spec],
         out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, width, f_pad), x.dtype),
         scratch_shapes=[

@@ -97,8 +97,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_scr, l_scr, *, s
     # lane width. Folding log2(e) into the scale turns both transcendentals
     # into raw exp2 (the VPU primitive; exp lowers to exp2+mul per element).
     st = _dg(kt, qt, ((0,), (0,))) * (scale * LOG2_E)  # (BK, BQ)
-    row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
-    st = jnp.where(row < kv_len, st, NEG_INF)
+    if kv_len is not None:  # None → kv tile-aligned, mask statically elided
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
+        st = jnp.where(row < kv_len, st, NEG_INF)
 
     m_prev = m_scr[0:1, :]  # (1, BQ), base-2
     m_cur = jnp.max(st, axis=0, keepdims=True)  # (1, BQ)
@@ -170,22 +171,26 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, acc_ref
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    qt = q_ref[0, 0].astype(jnp.float32)  # (D, BQ)
-    kt = k_ref[0, 0].astype(jnp.float32)  # (D, BK)
-    vt = v_ref[0, 0].astype(jnp.float32)  # (D, BK)
-    dot = do_ref[0, 0].astype(jnp.float32)  # (D, BQ)
+    # operands stay in their storage dtype (bf16 in training) — explicit
+    # fp32 casts force fp32-rate MXU passes (measured 2.9x slower in fwd);
+    # accumulation is fp32 via preferred_element_type in _dg
+    qt = q_ref[0, 0]  # (D, BQ)
+    kt = k_ref[0, 0]  # (D, BK)
+    vt = v_ref[0, 0]  # (D, BK)
+    dot = do_ref[0, 0]  # (D, BQ)
     lse = lse_ref[0, 0][0:1, :]  # (1, BQ)
     di = di_ref[0, 0][0:1, :]  # (1, BQ)
 
     # base-2 recompute: p = exp(s - lse) = exp2(s·log2e - lse·log2e); the
     # row-wise lse rescale is BQ muls vs the BK·BQ muls exp would lower to
     st = _dg(kt, qt, ((0,), (0,))) * (scale * LOG2_E)  # (BK, BQ)
-    row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
-    st = jnp.where(row < kv_len, st, NEG_INF)
+    if kv_len is not None:
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
+        st = jnp.where(row < kv_len, st, NEG_INF)
     pt = jnp.exp2(st - lse * LOG2_E)  # (BK, BQ)
 
     dpt = _dg(vt, dot, ((0,), (0,)))  # (BK, BQ) — v·do over D sublanes
-    dst = pt * (dpt - di) * scale  # (BK, BQ)
+    dst = (pt * (dpt - di) * scale).astype(kt.dtype)  # (BK, BQ)
     # dq^T (D, BQ) += k^T (D, BK) @ ds^T (BK, BQ) — contract BK
     acc_ref[:] += _dg(kt, dst, ((1,), (0,)))
 
@@ -205,22 +210,23 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    qt = q_ref[0, 0].astype(jnp.float32)  # (D, BQ)
-    kt = k_ref[0, 0].astype(jnp.float32)  # (D, BK)
-    vt = v_ref[0, 0].astype(jnp.float32)  # (D, BK)
-    dot = do_ref[0, 0].astype(jnp.float32)  # (D, BQ)
+    qt = q_ref[0, 0]  # (D, BQ)
+    kt = k_ref[0, 0]  # (D, BK)
+    vt = v_ref[0, 0]  # (D, BK)
+    dot = do_ref[0, 0]  # (D, BQ)
     lse = lse_ref[0, 0][0:1, :]  # (1, BQ)
     di = di_ref[0, 0][0:1, :]  # (1, BQ)
 
     st = _dg(kt, qt, ((0,), (0,))) * (scale * LOG2_E)  # (BK, BQ)
     pt = jnp.exp2(st - lse * LOG2_E)
-    row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
-    pt = jnp.where(row < kv_len, pt, 0.0)
+    if kv_len is not None:
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
+        pt = jnp.where(row < kv_len, pt, 0.0)
 
     # dv^T (D, BK) += do^T (D, BQ) @ p (BQ, BK) — contract BQ (pt lanes)
-    dv_acc[:] += _dg(dot, pt, ((1,), (1,)))
+    dv_acc[:] += _dg(dot, pt.astype(dot.dtype), ((1,), (1,)))
     dpt = _dg(vt, dot, ((0,), (0,)))  # (BK, BQ)
-    dst = pt * (dpt - di) * scale  # (BK, BQ)
+    dst = (pt * (dpt - di) * scale).astype(qt.dtype)  # (BK, BQ)
     # dk^T (D, BK) += q^T (D, BQ) @ ds (BQ, BK) — contract BQ
     dk_acc[:] += _dg(qt, dst, ((1,), (1,)))
 
@@ -335,7 +341,9 @@ def flash_attention(
     kt = _pad_to(_pad_to(k.swapaxes(2, 3), 2, d_pad), 3, skv_pad)
     vt = _pad_to(_pad_to(v.swapaxes(2, 3), 2, d_pad), 3, skv_pad)
 
-    ot = _flash(qt, kt, vt, scale, block_q, block_k, skv)
+    # kv_len=None statically elides the in-softmax tail mask (iota+select per
+    # logit cell) — every self-attention shape is tile-aligned
+    ot = _flash(qt, kt, vt, scale, block_q, block_k, None if skv == skv_pad else skv)
     return ot[:, :, :d, :sq].swapaxes(2, 3)
 
 
@@ -369,5 +377,5 @@ def flash_attention_dmajor(
     kt = _pad_to(_pad_to(kt, 2, d_pad), 3, skv_pad)
     vt = _pad_to(_pad_to(vt, 2, d_pad), 3, skv_pad)
 
-    ot = _flash(qt, kt, vt, scale, block_q, block_k, skv)
+    ot = _flash(qt, kt, vt, scale, block_q, block_k, None if skv == skv_pad else skv)
     return ot[:, :, :d, :sq]

@@ -56,6 +56,38 @@ def test_flash_forward_and_grads(interpreted_flash, shape):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
 
 
+def test_flash_bf16_grads(interpreted_flash):
+    """bf16 storage dtype — the training configuration. The bwd kernels feed
+    bf16 operands straight to the MXU (fp32 accumulate), so this guards the
+    reduced-precision path the fp32 test above never touches."""
+    from neurosis_tpu.ops.attention import _xla_attention
+
+    fa = interpreted_flash
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 256, 64), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 256, 64), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 256, 64), jnp.bfloat16)
+    qf, kf, vf = (t.astype(jnp.float32) for t in (q, k, v))
+
+    out = fa.flash_attention(q, k, v, block_q=128, block_k=128)
+    ref = _xla_attention(qf, kf, vf)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )
+
+    g_ref = jax.grad(lambda *a: jnp.sum(_xla_attention(*a) ** 2), argnums=(0, 1, 2))(qf, kf, vf)
+    g_fl = jax.grad(
+        lambda *a: jnp.sum(fa.flash_attention(*a, block_q=128, block_k=128).astype(jnp.float32) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for ref_g, fl_g in zip(g_ref, g_fl):
+        # bf16 matmul feeds: compare with bf16-scale tolerances relative to
+        # the grad magnitude (|g| up to ~60 at S=256)
+        scale = np.abs(np.asarray(ref_g)).max()
+        np.testing.assert_allclose(
+            np.asarray(fl_g, np.float32) / scale, np.asarray(ref_g) / scale, atol=3e-2
+        )
+
+
 def test_folded_dmajor_path_matches_standard(monkeypatch):
     """The zero-transpose projection path (CrossAttention._folded) must be
     numerically identical to the standard reshape/transpose path."""

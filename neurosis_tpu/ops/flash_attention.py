@@ -53,6 +53,26 @@ def _pick_blocks(d_pad: int) -> tuple:
     return (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
 
 
+def _resolve_blocks(d_pad: int, sq: int, skv: int, block_q: int, block_k: int) -> tuple:
+    """Table blocks clipped to the (padded) sequence lengths.
+
+    Short-q bump: for sq ≤ 1024 the whole q range becomes ONE block (d_pad <
+    256 so VMEM is ample). The in-situ profile shows short-seq attention is
+    bound by per-grid-cell overhead — this halves the fwd/dq cell count at
+    the SDXL level-2 shape and makes nq == 1, which switches dkv to the
+    scratch-free one-pass kernel."""
+    tq, tk = _pick_blocks(d_pad)
+    from_table = block_q == 0
+    block_q = block_q or tq
+    block_k = block_k or tk
+    sq_aligned = _round_up(sq, 128)
+    if from_table and sq_aligned <= 1024 and d_pad < 256:
+        block_q = max(block_q, sq_aligned)  # explicit block args are honored
+    block_q = min(block_q, sq_aligned)
+    block_k = min(block_k, _round_up(skv, 128))
+    return block_q, block_k
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -122,10 +142,57 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_scr, l_scr, *, s
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+def _fwd_onepass_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
+    """Single-kv-block forward: the whole softmax row is visible at once, so
+    the online-softmax machinery (running max/sum scratch, accumulator
+    rescale, init/finalize pl.when) disappears. The in-situ profile shows the
+    S=1024 transformer level and every cross-attention call are bound by
+    per-grid-cell overhead, not matmul throughput — this kernel is the
+    overhead-minimal path for them."""
+    qt = q_ref[0, 0]  # (D, BQ)
+    kt = k_ref[0, 0]  # (D, BK)
+    vt = v_ref[0, 0]  # (D, BK)
+
+    st = _dg(kt, qt, ((0,), (0,))) * (scale * LOG2_E)  # (BK, BQ), base-2
+    if kv_len is not None:
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        st = jnp.where(row < kv_len, st, NEG_INF)
+    m = jnp.max(st, axis=0, keepdims=True)  # (1, BQ)
+    pt = jnp.exp2(st - m)
+    l = jnp.sum(pt, axis=0, keepdims=True)
+    o = _dg(vt, pt.astype(vt.dtype), ((1,), (0,))) / l
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+    lse = m * (1.0 / LOG2_E) + jnp.log(jnp.maximum(l, 1e-30))
+    lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
 def _fwd(qt, kt, vt, *, scale, block_q, block_k, kv_len):
     b, h, d, sq = qt.shape
     skv = kt.shape[3]
     grid = (b, h, sq // block_q, skv // block_k)
+
+    if skv == block_k:  # single kv block -> one-pass kernel, no scratch
+        q_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi: (bi, hi, 0, qi))
+        kv_spec = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, qi: (bi, hi, 0, 0))
+        lse_spec = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, qi: (bi, hi, 0, qi))
+        return pl.pallas_call(
+            functools.partial(_fwd_onepass_kernel, scale=scale, kv_len=kv_len),
+            grid=grid[:3],
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=(q_spec, lse_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, h, d, sq), qt.dtype),
+                jax.ShapeDtypeStruct((b, h, _STAT_ROWS, sq), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * sq * skv * d,
+                bytes_accessed=2 * (b * h * sq * d + 2 * b * h * skv * d),
+                transcendentals=b * h * sq * skv,
+            ),
+        )(qt, kt, vt)
 
     q_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi))
     kv_spec = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, qi, ki: (bi, hi, 0, ki))
@@ -199,6 +266,47 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, acc_ref
         dq_ref[0, 0] = acc_ref[:].astype(dq_ref.dtype)
 
 
+def _bwd_dq_onepass_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *, scale, kv_len):
+    """dq with a single kv block: direct write, no accumulator scratch."""
+    qt = q_ref[0, 0]  # (D, BQ)
+    kt = k_ref[0, 0]  # (D, BK)
+    vt = v_ref[0, 0]  # (D, BK)
+    dot = do_ref[0, 0]  # (D, BQ)
+    lse = lse_ref[0, 0][0:1, :]  # (1, BQ)
+    di = di_ref[0, 0][0:1, :]  # (1, BQ)
+
+    st = _dg(kt, qt, ((0,), (0,))) * (scale * LOG2_E)  # (BK, BQ)
+    if kv_len is not None:
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        st = jnp.where(row < kv_len, st, NEG_INF)
+    pt = jnp.exp2(st - lse * LOG2_E)
+    dpt = _dg(vt, dot, ((0,), (0,)))  # (BK, BQ)
+    dst = (pt * (dpt - di) * scale).astype(kt.dtype)
+    dq_ref[0, 0] = _dg(kt, dst, ((1,), (0,))).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_onepass_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+                            *, scale, kv_len):
+    """dk/dv with a single q block: direct write, no accumulator scratch."""
+    qt = q_ref[0, 0]  # (D, BQ)
+    kt = k_ref[0, 0]  # (D, BK)
+    vt = v_ref[0, 0]  # (D, BK)
+    dot = do_ref[0, 0]  # (D, BQ)
+    lse = lse_ref[0, 0][0:1, :]  # (1, BQ)
+    di = di_ref[0, 0][0:1, :]  # (1, BQ)
+
+    st = _dg(kt, qt, ((0,), (0,))) * (scale * LOG2_E)  # (BK, BQ)
+    pt = jnp.exp2(st - lse * LOG2_E)
+    if kv_len is not None:
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        pt = jnp.where(row < kv_len, pt, 0.0)
+
+    dv_ref[0, 0] = _dg(dot, pt.astype(dot.dtype), ((1,), (1,))).astype(dv_ref.dtype)
+    dpt = _dg(vt, dot, ((0,), (0,)))  # (BK, BQ)
+    dst = (pt * (dpt - di) * scale).astype(qt.dtype)
+    dk_ref[0, 0] = _dg(qt, dst, ((1,), (1,))).astype(dk_ref.dtype)
+
+
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, dk_acc, dv_acc,
                     *, scale, kv_len):
     nq = pl.num_programs(3)
@@ -250,22 +358,56 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
     kv_spec = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, qi, ki: (bi, hi, 0, ki))
     stat_spec = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi))
 
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len),
-        grid=(b, h, sq // block_q, skv // block_k),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
-        out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
-        scratch_shapes=[pltpu.VMEM((d, block_q), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-    )(qt, kt, vt, dot, lse, di)
+    if skv == block_k:  # single kv block -> one-pass dq, no scratch
+        q_spec1 = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi: (bi, hi, 0, qi))
+        kv_spec1 = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, qi: (bi, hi, 0, 0))
+        stat_spec1 = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, qi: (bi, hi, 0, qi))
+        dq = pl.pallas_call(
+            functools.partial(_bwd_dq_onepass_kernel, scale=scale, kv_len=kv_len),
+            grid=(b, h, sq // block_q),
+            in_specs=[q_spec1, kv_spec1, kv_spec1, q_spec1, stat_spec1, stat_spec1],
+            out_specs=q_spec1,
+            out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+        )(qt, kt, vt, dot, lse, di)
+    else:
+        dq = pl.pallas_call(
+            functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len),
+            grid=(b, h, sq // block_q, skv // block_k),
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
+            out_specs=q_spec,
+            out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
+            scratch_shapes=[pltpu.VMEM((d, block_q), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+        )(qt, kt, vt, dot, lse, di)
 
     # dkv: kv blocks on grid dim 2, q blocks innermost
     q_spec2 = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi))
     kv_spec2 = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, ki, qi: (bi, hi, 0, ki))
     stat_spec2 = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi))
+
+    if sq == block_q:  # single q block -> one-pass dkv, no scratch
+        q_spec3 = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, ki: (bi, hi, 0, 0))
+        kv_spec3 = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, ki: (bi, hi, 0, ki))
+        stat_spec3 = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, ki: (bi, hi, 0, 0))
+        dk, dv = pl.pallas_call(
+            functools.partial(_bwd_dkv_onepass_kernel, scale=scale, kv_len=kv_len),
+            grid=(b, h, skv // block_k),
+            in_specs=[q_spec3, kv_spec3, kv_spec3, q_spec3, stat_spec3, stat_spec3],
+            out_specs=(kv_spec3, kv_spec3),
+            out_shape=(
+                jax.ShapeDtypeStruct(kt.shape, kt.dtype),
+                jax.ShapeDtypeStruct(vt.shape, vt.dtype),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+        )(qt, kt, vt, dot, lse, di)
+        return dq, dk, dv
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len),
@@ -328,11 +470,7 @@ def flash_attention(
     scale = 1.0 / math.sqrt(d)  # scale by TRUE head dim, before padding
 
     d_pad = _round_up(d, 16)  # sublane tile (bf16); multiple of 8 for fp32 too
-    tq, tk = _pick_blocks(d_pad)
-    block_q = block_q or tq
-    block_k = block_k or tk
-    block_q = min(block_q, _round_up(sq, 128))
-    block_k = min(block_k, _round_up(skv, 128))
+    block_q, block_k = _resolve_blocks(d_pad, sq, skv, block_q, block_k)
     sq_pad = _round_up(sq, block_q)
     skv_pad = _round_up(skv, block_k)
 
@@ -365,11 +503,7 @@ def flash_attention_dmajor(
     scale = 1.0 / math.sqrt(d)
 
     d_pad = _round_up(d, 16)
-    tq, tk = _pick_blocks(d_pad)
-    block_q = block_q or tq
-    block_k = block_k or tk
-    block_q = min(block_q, _round_up(sq, 128))
-    block_k = min(block_k, _round_up(skv, 128))
+    block_q, block_k = _resolve_blocks(d_pad, sq, skv, block_q, block_k)
     sq_pad = _round_up(sq, block_q)
     skv_pad = _round_up(skv, block_k)
 

@@ -56,6 +56,30 @@ def test_flash_forward_and_grads(interpreted_flash, shape):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
 
 
+def test_flash_onepass_table_mode(interpreted_flash):
+    """Short-seq table mode (sq = skv ≤ 1024): the whole q and kv ranges are
+    single blocks, so all THREE scratch-free one-pass kernels run (fwd, dq,
+    dkv) — the SDXL level-2 / cross-attention configuration."""
+    from neurosis_tpu.ops.attention import _xla_attention
+
+    fa = interpreted_flash
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 512, 64), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 512, 64), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 512, 64), jnp.float32)
+
+    bq, bk = fa._resolve_blocks(64, 512, 512, 0, 0)
+    assert (bq, bk) == (512, 512)  # one block each -> one-pass paths
+
+    ref = _xla_attention(q, k, v)
+    out = fa.flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6, rtol=1e-4)
+
+    g_ref = jax.grad(lambda *a: jnp.sum(_xla_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(lambda *a: jnp.sum(fa.flash_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
+
+
 def test_flash_bf16_grads(interpreted_flash):
     """bf16 storage dtype — the training configuration. The bwd kernels feed
     bf16 operands straight to the MXU (fp32 accumulate), so this guards the

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.ad_checkpoint
@@ -53,21 +54,64 @@ def _pick_blocks(d_pad: int) -> tuple:
     return (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
 
 
-def _resolve_blocks(d_pad: int, sq: int, skv: int, block_q: int, block_k: int) -> tuple:
+# Chunked whole-row kernels (issue-first MXU/VPU pipelining) are used when
+# the working set fits VMEM; set NEUROSIS_FLASH_CHUNKED=0 to force the
+# two-pass grid kernels everywhere (A/B escape hatch).
+_CHUNKED = os.environ.get("NEUROSIS_FLASH_CHUNKED", "1") != "0"
+_CHUNK_VMEM_BUDGET = 15_500_000  # bytes; scoped VMEM limit is 16 MiB
+
+
+def _chunked_feasible(
+    d: int, bq: int, s_whole: int, chunk: int, itemsize: int, bwd: bool = False
+) -> bool:
+    """Empirical VMEM estimate for a whole-row chunked kernel cell: one live
+    fp32 (chunk, bq) st tile + one fp32+bf16 pt tile + the whole-kv (or
+    whole-q) operands + the q/o tiles, PLUS a cumulative-unroll cap — Mosaic's
+    stack allocator reuses only ~half the unrolled st tiles across chunks.
+    The bwd kernels additionally hold a fp32 dpt tile, a bf16 dst tile, and
+    the do/d-output tiles. Calibrated against the measured boundary
+    (tools/overlap_bench.py + tools/chunked_ab.py: chunk=1024/bq=1024/
+    skv=4096/d=64 compiles and is the fastest config; bq=2048 variants and
+    S=16384·bq=512 OOM the 16 MiB scoped VMEM)."""
+    if not _CHUNKED:
+        return False
+    # cumulative cap: TOTAL fp32 st footprint (4·s_whole·bq over all chunks)
+    # must stay under ~20 MB — 16.8 MB compiles, 29-33 MB OOMs
+    if 4 * s_whole * bq > 20_000_000:
+        return False
+    whole = 2 * d * s_whole * itemsize
+    st = 4 * chunk * bq
+    pt = (4 + itemsize) * chunk * bq
+    qo = d * bq * (itemsize + 4)
+    use = whole + st + pt + qo
+    if bwd:
+        use += (4 + itemsize) * chunk * bq  # dpt fp32 + dst bf16
+        use += 2 * d * bq * itemsize  # do tile + d-output tile
+    return use <= _CHUNK_VMEM_BUDGET
+
+
+def _resolve_blocks(d_pad: int, sq: int, skv: int, block_q: int, block_k: int,
+                    itemsize: int = 2) -> tuple:
     """Table blocks clipped to the (padded) sequence lengths.
 
-    Short-q bump: for sq ≤ 1024 the whole q range becomes ONE block (d_pad <
-    256 so VMEM is ample). The in-situ profile shows short-seq attention is
-    bound by per-grid-cell overhead — this halves the fwd/dq cell count at
-    the SDXL level-2 shape and makes nq == 1, which switches dkv to the
-    scratch-free one-pass kernel."""
+    Block bump: when the whole-kv chunked kernel is feasible, q blocks grow
+    to min(1024, sq) for d ≤ 160 — fewer, fatter grid cells measured +8% on
+    top of the chunked pipeline at the SDXL level-1 shape
+    (tools/overlap_bench.py chunk4-bq1024 60.1 vs chunk4x1024-bq512 55.7).
+    For sq ≤ 1024 the whole q range is ONE block (the in-situ profile shows
+    short-seq attention is bound by per-grid-cell overhead)."""
     tq, tk = _pick_blocks(d_pad)
     from_table = block_q == 0
     block_q = block_q or tq
     block_k = block_k or tk
     sq_aligned = _round_up(sq, 128)
-    if from_table and sq_aligned <= 1024 and d_pad < 256:
-        block_q = max(block_q, sq_aligned)  # explicit block args are honored
+    if from_table and d_pad <= 160:
+        bq_big = min(1024, sq_aligned)
+        if bq_big > block_q and _chunked_feasible(
+            d_pad, bq_big, _round_up(skv, min(block_k, _round_up(skv, 128))),
+            min(block_k, _round_up(skv, 128)), itemsize,
+        ):
+            block_q = bq_big
     block_q = min(block_q, sq_aligned)
     block_k = min(block_k, _round_up(skv, 128))
     return block_q, block_k
@@ -95,7 +139,7 @@ def _dg(a, b, dims):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_scr, l_scr, *, scale, kv_len):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_scr, l_scr, *, kv_len):
     """One (b, h, q_block, kv_block) step; tensor blocks (D, S), logits (BK, BQ)."""
     nk = pl.num_programs(3)
     ki = pl.program_id(3)
@@ -114,9 +158,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_scr, l_scr, *, s
     vt = v_ref[0, 0]  # (D, BK)
 
     # st[k, q] in BASE-2 log space — contract D over sublanes, BQ at full
-    # lane width. Folding log2(e) into the scale turns both transcendentals
-    # into raw exp2 (the VPU primitive; exp lowers to exp2+mul per element).
-    st = _dg(kt, qt, ((0,), (0,))) * (scale * LOG2_E)  # (BK, BQ)
+    # lane width. q arrives PRE-SCALED by scale·log2(e) (one fused XLA pass in
+    # _flash_fwd), so both transcendentals are raw exp2 (the VPU primitive)
+    # with ZERO in-kernel scale work: no (BK, BQ) logit rescale pass and no
+    # VPU dependency ahead of the first MXU op of the cell (an in-kernel
+    # q-rescale measured -14% at the 1024-token shape — it serializes the
+    # matmul issue behind the VPU).
+    st = _dg(kt, qt, ((0,), (0,)))  # (BK, BQ)
     if kv_len is not None:  # None → kv tile-aligned, mask statically elided
         row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
         st = jnp.where(row < kv_len, st, NEG_INF)
@@ -142,41 +190,63 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_scr, l_scr, *, s
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
-def _fwd_onepass_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
-    """Single-kv-block forward: the whole softmax row is visible at once, so
-    the online-softmax machinery (running max/sum scratch, accumulator
-    rescale, init/finalize pl.when) disappears. The in-situ profile shows the
-    S=1024 transformer level and every cross-attention call are bound by
-    per-grid-cell overhead, not matmul throughput — this kernel is the
-    overhead-minimal path for them."""
+def _fwd_chunked_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, n_chunks, kv_len):
+    """Whole-kv-row forward: one grid cell sees the full softmax row, split
+    into n_chunks kv sub-tiles processed as a software pipeline — chunk i+1's
+    st matmul is ISSUED before chunk i's VPU softmax work, so the MXU (whose
+    ops retire through asynchronous queues) executes st_{i+1} underneath
+    exp2(st_i). The measured effect at the SDXL level-1 shape is +28% over
+    the two-pass grid kernel (tools/overlap_bench.py: 60.1 vs 46.8 TF/s fwd,
+    chunk=1024/bq=1024); with n_chunks == 1 this reduces to the scratch-free
+    one-pass kernel (the overhead-minimal path for cross-attention and the
+    1024-token level). Online rescale state lives in registers, not scratch."""
     qt = q_ref[0, 0]  # (D, BQ)
-    kt = k_ref[0, 0]  # (D, BK)
-    vt = v_ref[0, 0]  # (D, BK)
+    kt = k_ref[0, 0]  # (D, SKV)
+    vt = v_ref[0, 0]  # (D, SKV)
+    bk = kt.shape[1] // n_chunks
 
-    st = _dg(kt, qt, ((0,), (0,))) * (scale * LOG2_E)  # (BK, BQ), base-2
-    if kv_len is not None:
-        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
-        st = jnp.where(row < kv_len, st, NEG_INF)
-    m = jnp.max(st, axis=0, keepdims=True)  # (1, BQ)
-    pt = jnp.exp2(st - m)
-    l = jnp.sum(pt, axis=0, keepdims=True)
-    o = _dg(vt, pt.astype(vt.dtype), ((1,), (0,))) / l
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    st = [None] * n_chunks
+    st[0] = _dg(kt[:, :bk], qt, ((0,), (0,)))  # (BK, BQ), base-2 (q pre-scaled)
+    m = l = o = None
+    for i in range(n_chunks):
+        if i + 1 < n_chunks:
+            st[i + 1] = _dg(kt[:, (i + 1) * bk : (i + 2) * bk], qt, ((0,), (0,)))
+        st_i = st[i]
+        st[i] = None  # drop the Python reference once consumed
+        if kv_len is not None and (i + 1) * bk > kv_len:
+            # tail mask only on chunks that actually straddle kv_len — fully
+            # interior chunks skip the iota+select statically
+            row = jax.lax.broadcasted_iota(jnp.int32, st_i.shape, 0) + i * bk
+            st_i = jnp.where(row < kv_len, st_i, NEG_INF)
+        m_i = jnp.max(st_i, axis=0, keepdims=True)  # (1, BQ)
+        m_new = m_i if m is None else jnp.maximum(m, m_i)
+        pt = jnp.exp2(st_i - m_new)
+        l_i = jnp.sum(pt, axis=0, keepdims=True)
+        o_i = _dg(vt[:, i * bk : (i + 1) * bk], pt.astype(vt.dtype), ((1,), (0,)))
+        if m is None:
+            m, l, o = m_new, l_i, o_i
+        else:
+            alpha = jnp.exp2(m - m_new)  # (1, BQ)
+            l = l * alpha + l_i
+            o = o * alpha + o_i
+            m = m_new
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
     lse = m * (1.0 / LOG2_E) + jnp.log(jnp.maximum(l, 1e-30))
     lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
-def _fwd(qt, kt, vt, *, scale, block_q, block_k, kv_len):
+def _fwd(qt, kt, vt, *, block_q, block_k, kv_len):
     b, h, d, sq = qt.shape
     skv = kt.shape[3]
     grid = (b, h, sq // block_q, skv // block_k)
 
-    if skv == block_k:  # single kv block -> one-pass kernel, no scratch
+    if _chunked_feasible(d, block_q, skv, block_k, qt.dtype.itemsize):
+        # whole kv row per cell, chunked issue-first pipeline
         q_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi: (bi, hi, 0, qi))
-        kv_spec = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, qi: (bi, hi, 0, 0))
+        kv_spec = pl.BlockSpec((1, 1, d, skv), lambda bi, hi, qi: (bi, hi, 0, 0))
         lse_spec = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, qi: (bi, hi, 0, qi))
         return pl.pallas_call(
-            functools.partial(_fwd_onepass_kernel, scale=scale, kv_len=kv_len),
+            functools.partial(_fwd_chunked_kernel, n_chunks=skv // block_k, kv_len=kv_len),
             grid=grid[:3],
             in_specs=[q_spec, kv_spec, kv_spec],
             out_specs=(q_spec, lse_spec),
@@ -202,7 +272,7 @@ def _fwd(qt, kt, vt, *, scale, block_q, block_k, kv_len):
         jax.ShapeDtypeStruct((b, h, d, sq), qt.dtype),
         jax.ShapeDtypeStruct((b, h, _STAT_ROWS, sq), jnp.float32),
     )
-    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len)
+    kernel = functools.partial(_fwd_kernel, kv_len=kv_len)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -249,66 +319,99 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, acc_ref
     di = di_ref[0, 0][0:1, :]  # (1, BQ)
 
     # base-2 recompute: p = exp(s - lse) = exp2(s·log2e - lse·log2e); the
-    # row-wise lse rescale is BQ muls vs the BK·BQ muls exp would lower to
-    st = _dg(kt, qt, ((0,), (0,))) * (scale * LOG2_E)  # (BK, BQ)
+    # row-wise lse rescale is BQ muls vs the BK·BQ muls exp would lower to.
+    # q arrives pre-scaled by scale·log2e (see _flash_fwd); dst's *scale is
+    # deferred to the (D, BQ) finalize — no full-logit-tile rescale passes
+    st = _dg(kt, qt, ((0,), (0,)))  # (BK, BQ)
     if kv_len is not None:
         row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
         st = jnp.where(row < kv_len, st, NEG_INF)
     pt = jnp.exp2(st - lse * LOG2_E)  # (BK, BQ)
 
     dpt = _dg(vt, dot, ((0,), (0,)))  # (BK, BQ) — v·do over D sublanes
-    dst = (pt * (dpt - di) * scale).astype(kt.dtype)  # (BK, BQ)
+    dst = (pt * (dpt - di)).astype(kt.dtype)  # (BK, BQ), unscaled
     # dq^T (D, BQ) += k^T (D, BK) @ ds^T (BK, BQ) — contract BK
     acc_ref[:] += _dg(kt, dst, ((1,), (0,)))
 
     @pl.when(ki == nk - 1)
     def _finalize():
-        dq_ref[0, 0] = acc_ref[:].astype(dq_ref.dtype)
+        dq_ref[0, 0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
 
 
-def _bwd_dq_onepass_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *, scale, kv_len):
-    """dq with a single kv block: direct write, no accumulator scratch."""
+def _bwd_dq_chunked_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
+                           *, n_chunks, scale, kv_len):
+    """Whole-kv dq: one grid cell owns a q block and the FULL kv row, split
+    into n_chunks sub-tiles pipelined issue-first (see _fwd_chunked_kernel).
+    No accumulator scratch — the running dq lives in registers."""
     qt = q_ref[0, 0]  # (D, BQ)
+    kt = k_ref[0, 0]  # (D, SKV)
+    vt = v_ref[0, 0]  # (D, SKV)
+    dot = do_ref[0, 0]  # (D, BQ)
+    lse2 = lse_ref[0, 0][0:1, :] * LOG2_E  # (1, BQ), base-2
+    di = di_ref[0, 0][0:1, :]  # (1, BQ)
+    bk = kt.shape[1] // n_chunks
+
+    st = [None] * n_chunks
+    st[0] = _dg(kt[:, :bk], qt, ((0,), (0,)))  # (BK, BQ); q pre-scaled
+    acc = None
+    for i in range(n_chunks):
+        if i + 1 < n_chunks:
+            st[i + 1] = _dg(kt[:, (i + 1) * bk : (i + 2) * bk], qt, ((0,), (0,)))
+        st_i = st[i]
+        st[i] = None
+        if kv_len is not None and (i + 1) * bk > kv_len:
+            row = jax.lax.broadcasted_iota(jnp.int32, st_i.shape, 0) + i * bk
+            st_i = jnp.where(row < kv_len, st_i, NEG_INF)
+        pt = jnp.exp2(st_i - lse2)
+        dpt = _dg(vt[:, i * bk : (i + 1) * bk], dot, ((0,), (0,)))  # (BK, BQ)
+        dst = (pt * (dpt - di)).astype(kt.dtype)  # unscaled
+        contrib = _dg(kt[:, i * bk : (i + 1) * bk], dst, ((1,), (0,)))  # (D, BQ)
+        acc = contrib if acc is None else acc + contrib
+    dq_ref[0, 0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_chunked_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+                            *, n_chunks, kv_len):
+    """Whole-q dk/dv: one grid cell owns a kv block and the FULL q range,
+    split into n_chunks q sub-tiles pipelined issue-first. Register-carried
+    dk/dv accumulators, direct write."""
+    ki = pl.program_id(2)
+    qt = q_ref[0, 0]  # (D, SQ)
     kt = k_ref[0, 0]  # (D, BK)
     vt = v_ref[0, 0]  # (D, BK)
-    dot = do_ref[0, 0]  # (D, BQ)
-    lse = lse_ref[0, 0][0:1, :]  # (1, BQ)
-    di = di_ref[0, 0][0:1, :]  # (1, BQ)
+    dot = do_ref[0, 0]  # (D, SQ)
+    lse2 = lse_ref[0, 0][0:1, :] * LOG2_E  # (1, SQ)
+    di_all = di_ref[0, 0][0:1, :]  # (1, SQ)
+    cq = qt.shape[1] // n_chunks
 
-    st = _dg(kt, qt, ((0,), (0,))) * (scale * LOG2_E)  # (BK, BQ)
-    if kv_len is not None:
-        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
-        st = jnp.where(row < kv_len, st, NEG_INF)
-    pt = jnp.exp2(st - lse * LOG2_E)
-    dpt = _dg(vt, dot, ((0,), (0,)))  # (BK, BQ)
-    dst = (pt * (dpt - di) * scale).astype(kt.dtype)
-    dq_ref[0, 0] = _dg(kt, dst, ((1,), (0,))).astype(dq_ref.dtype)
-
-
-def _bwd_dkv_onepass_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
-                            *, scale, kv_len):
-    """dk/dv with a single q block: direct write, no accumulator scratch."""
-    qt = q_ref[0, 0]  # (D, BQ)
-    kt = k_ref[0, 0]  # (D, BK)
-    vt = v_ref[0, 0]  # (D, BK)
-    dot = do_ref[0, 0]  # (D, BQ)
-    lse = lse_ref[0, 0][0:1, :]  # (1, BQ)
-    di = di_ref[0, 0][0:1, :]  # (1, BQ)
-
-    st = _dg(kt, qt, ((0,), (0,))) * (scale * LOG2_E)  # (BK, BQ)
-    pt = jnp.exp2(st - lse * LOG2_E)
-    if kv_len is not None:
-        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
-        pt = jnp.where(row < kv_len, pt, 0.0)
-
-    dv_ref[0, 0] = _dg(dot, pt.astype(dot.dtype), ((1,), (1,))).astype(dv_ref.dtype)
-    dpt = _dg(vt, dot, ((0,), (0,)))  # (BK, BQ)
-    dst = (pt * (dpt - di) * scale).astype(qt.dtype)
-    dk_ref[0, 0] = _dg(qt, dst, ((1,), (1,))).astype(dk_ref.dtype)
+    st = [None] * n_chunks
+    st[0] = _dg(kt, qt[:, :cq], ((0,), (0,)))  # (BK, CQ); q pre-scaled
+    dk = dv = None
+    for j in range(n_chunks):
+        if j + 1 < n_chunks:
+            st[j + 1] = _dg(kt, qt[:, (j + 1) * cq : (j + 2) * cq], ((0,), (0,)))
+        st_j = st[j]
+        st[j] = None
+        pt = jnp.exp2(st_j - lse2[:, j * cq : (j + 1) * cq])
+        if kv_len is not None:
+            row = jax.lax.broadcasted_iota(jnp.int32, pt.shape, 0) + ki * kt.shape[1]
+            pt = jnp.where(row < kv_len, pt, 0.0)
+        dot_j = dot[:, j * cq : (j + 1) * cq]
+        # dv^T (D, BK) += do^T (D, CQ) @ p (CQ, BK) — contract CQ (pt lanes)
+        dv_c = _dg(dot_j, pt.astype(dot.dtype), ((1,), (1,)))
+        dpt = _dg(vt, dot_j, ((0,), (0,)))  # (BK, CQ)
+        dst = (pt * (dpt - di_all[:, j * cq : (j + 1) * cq])).astype(qt.dtype)
+        # dk^T (D, BK) += q^T (D, CQ) @ ds (CQ, BK) — contract CQ
+        dk_c = _dg(qt[:, j * cq : (j + 1) * cq], dst, ((1,), (1,)))
+        dk = dk_c if dk is None else dk + dk_c
+        dv = dv_c if dv is None else dv + dv_c
+    # dk = q·dsᵀ·scale with q = q̃/(scale·log2e) ⇒ dk = q̃·dsᵀ/log2e
+    dk_ref[0, 0] = (dk * (1.0 / LOG2_E)).astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                    *, scale, kv_len):
+                    *, kv_len):
     nq = pl.num_programs(3)
     qi = pl.program_id(3)
     ki = pl.program_id(2)
@@ -325,7 +428,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
     lse = lse_ref[0, 0][0:1, :]  # (1, BQ)
     di = di_ref[0, 0][0:1, :]  # (1, BQ)
 
-    st = _dg(kt, qt, ((0,), (0,))) * (scale * LOG2_E)  # (BK, BQ)
+    st = _dg(kt, qt, ((0,), (0,)))  # (BK, BQ); q pre-scaled
     pt = jnp.exp2(st - lse * LOG2_E)
     if kv_len is not None:
         row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
@@ -334,13 +437,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
     # dv^T (D, BK) += do^T (D, BQ) @ p (BQ, BK) — contract BQ (pt lanes)
     dv_acc[:] += _dg(dot, pt.astype(dot.dtype), ((1,), (1,)))
     dpt = _dg(vt, dot, ((0,), (0,)))  # (BK, BQ)
-    dst = (pt * (dpt - di) * scale).astype(qt.dtype)  # (BK, BQ)
+    dst = (pt * (dpt - di)).astype(qt.dtype)  # (BK, BQ), unscaled
     # dk^T (D, BK) += q^T (D, BQ) @ ds (BQ, BK) — contract BQ
     dk_acc[:] += _dg(qt, dst, ((1,), (1,)))
 
     @pl.when(qi == nq - 1)
     def _finalize():
-        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        # dk = q·dsᵀ·scale with q = q̃/(scale·log2e) ⇒ dk = q̃·dsᵀ/log2e
+        dk_ref[0, 0] = (dk_acc[:] * (1.0 / LOG2_E)).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
@@ -354,17 +458,19 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
     di = jnp.sum(dot.astype(jnp.float32) * ot.astype(jnp.float32), axis=2, keepdims=True)
     di = jnp.broadcast_to(di, (b, h, _STAT_ROWS, sq))
 
-    q_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi))
-    kv_spec = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, qi, ki: (bi, hi, 0, ki))
-    stat_spec = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi))
-
-    if skv == block_k:  # single kv block -> one-pass dq, no scratch
-        q_spec1 = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi: (bi, hi, 0, qi))
-        kv_spec1 = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, qi: (bi, hi, 0, 0))
-        stat_spec1 = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, qi: (bi, hi, 0, qi))
+    # dq: q blocks halved for the chunked whole-kv path — it keeps two fp32
+    # st tiles AND a dpt tile live per chunk, so bq=512 is the VMEM sweet
+    # spot (the extra (BK, BQ) dpt tile is what the fwd kernel doesn't have)
+    bq_dq = min(block_q, 512) if sq % min(block_q, 512) == 0 else block_q
+    if _chunked_feasible(d, bq_dq, skv, block_k, qt.dtype.itemsize, bwd=True):
+        q_spec1 = pl.BlockSpec((1, 1, d, bq_dq), lambda bi, hi, qi: (bi, hi, 0, qi))
+        kv_spec1 = pl.BlockSpec((1, 1, d, skv), lambda bi, hi, qi: (bi, hi, 0, 0))
+        stat_spec1 = pl.BlockSpec((1, 1, _STAT_ROWS, bq_dq), lambda bi, hi, qi: (bi, hi, 0, qi))
         dq = pl.pallas_call(
-            functools.partial(_bwd_dq_onepass_kernel, scale=scale, kv_len=kv_len),
-            grid=(b, h, sq // block_q),
+            functools.partial(
+                _bwd_dq_chunked_kernel, n_chunks=skv // block_k, scale=scale, kv_len=kv_len
+            ),
+            grid=(b, h, sq // bq_dq),
             in_specs=[q_spec1, kv_spec1, kv_spec1, q_spec1, stat_spec1, stat_spec1],
             out_specs=q_spec1,
             out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
@@ -373,6 +479,11 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
             ),
         )(qt, kt, vt, dot, lse, di)
     else:
+        q_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi))
+        kv_spec = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, qi, ki: (bi, hi, 0, ki))
+        stat_spec = pl.BlockSpec(
+            (1, 1, _STAT_ROWS, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi)
+        )
         dq = pl.pallas_call(
             functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len),
             grid=(b, h, sq // block_q, skv // block_k),
@@ -385,17 +496,15 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
             ),
         )(qt, kt, vt, dot, lse, di)
 
-    # dkv: kv blocks on grid dim 2, q blocks innermost
-    q_spec2 = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi))
-    kv_spec2 = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, ki, qi: (bi, hi, 0, ki))
-    stat_spec2 = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi))
-
-    if sq == block_q:  # single q block -> one-pass dkv, no scratch
-        q_spec3 = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, ki: (bi, hi, 0, 0))
+    # dkv: whole-q chunked path — one cell per kv block, q pipelined in
+    # cq-sized chunks (same VMEM shape as dq with q/kv roles swapped)
+    cq = min(block_q, 512) if sq % min(block_q, 512) == 0 else block_q
+    if _chunked_feasible(d, cq, sq, block_k, qt.dtype.itemsize, bwd=True):
+        q_spec3 = pl.BlockSpec((1, 1, d, sq), lambda bi, hi, ki: (bi, hi, 0, 0))
         kv_spec3 = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, ki: (bi, hi, 0, ki))
-        stat_spec3 = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, ki: (bi, hi, 0, 0))
+        stat_spec3 = pl.BlockSpec((1, 1, _STAT_ROWS, sq), lambda bi, hi, ki: (bi, hi, 0, 0))
         dk, dv = pl.pallas_call(
-            functools.partial(_bwd_dkv_onepass_kernel, scale=scale, kv_len=kv_len),
+            functools.partial(_bwd_dkv_chunked_kernel, n_chunks=sq // cq, kv_len=kv_len),
             grid=(b, h, skv // block_k),
             in_specs=[q_spec3, kv_spec3, kv_spec3, q_spec3, stat_spec3, stat_spec3],
             out_specs=(kv_spec3, kv_spec3),
@@ -409,8 +518,11 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
         )(qt, kt, vt, dot, lse, di)
         return dq, dk, dv
 
+    q_spec2 = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi))
+    kv_spec2 = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, ki, qi: (bi, hi, 0, ki))
+    stat_spec2 = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi))
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len),
+        functools.partial(_bwd_dkv_kernel, kv_len=kv_len),
         grid=(b, h, skv // block_k, sq // block_q),
         in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, stat_spec2, stat_spec2],
         out_specs=(kv_spec2, kv_spec2),
@@ -436,12 +548,17 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash(qt, kt, vt, scale, block_q, block_k, kv_len):
-    o, _ = _fwd(qt, kt, vt, scale=scale, block_q=block_q, block_k=block_k, kv_len=kv_len)
+    # q is pre-scaled by scale·log2(e) HERE, as one XLA elementwise pass that
+    # fuses with the surrounding formatting ops — the kernels then work in
+    # base-2 log space with zero per-cell scale work (see _fwd_kernel note)
+    qs = (qt * (scale * LOG2_E)).astype(qt.dtype)
+    o, _ = _fwd(qs, kt, vt, block_q=block_q, block_k=block_k, kv_len=kv_len)
     return o
 
 
 def _flash_fwd(qt, kt, vt, scale, block_q, block_k, kv_len):
-    o, lse = _fwd(qt, kt, vt, scale=scale, block_q=block_q, block_k=block_k, kv_len=kv_len)
+    qs = (qt * (scale * LOG2_E)).astype(qt.dtype)
+    o, lse = _fwd(qs, kt, vt, block_q=block_q, block_k=block_k, kv_len=kv_len)
     # Name BOTH bwd residuals so the "names" remat policy
     # (save_only_these_names) can keep them and skip re-running this fwd
     # kernel in the bwd remat pass. Naming only the output is not enough:
@@ -449,7 +566,10 @@ def _flash_fwd(qt, kt, vt, scale, block_q, block_k, kv_len):
     # to regenerate it (verified at jaxpr level).
     o = jax.ad_checkpoint.checkpoint_name(o, "attn_out")
     lse = jax.ad_checkpoint.checkpoint_name(lse, "attn_lse")
-    return o, (qt, kt, vt, o, lse)
+    # residual q is the PRE-SCALED q̃ — the bwd kernels recompute base-2
+    # logits from it directly and emit dq w.r.t. the ORIGINAL q (·scale) and
+    # dk w.r.t. k (·1/log2e), so no outer chain-rule pass is needed
+    return o, (qs, kt, vt, o, lse)
 
 
 _flash.defvjp(_flash_fwd, _bwd)
@@ -470,7 +590,7 @@ def flash_attention(
     scale = 1.0 / math.sqrt(d)  # scale by TRUE head dim, before padding
 
     d_pad = _round_up(d, 16)  # sublane tile (bf16); multiple of 8 for fp32 too
-    block_q, block_k = _resolve_blocks(d_pad, sq, skv, block_q, block_k)
+    block_q, block_k = _resolve_blocks(d_pad, sq, skv, block_q, block_k, q.dtype.itemsize)
     sq_pad = _round_up(sq, block_q)
     skv_pad = _round_up(skv, block_k)
 
@@ -503,7 +623,7 @@ def flash_attention_dmajor(
     scale = 1.0 / math.sqrt(d)
 
     d_pad = _round_up(d, 16)
-    block_q, block_k = _resolve_blocks(d_pad, sq, skv, block_q, block_k)
+    block_q, block_k = _resolve_blocks(d_pad, sq, skv, block_q, block_k, qt.dtype.itemsize)
     sq_pad = _round_up(sq, block_q)
     skv_pad = _round_up(skv, block_k)
 

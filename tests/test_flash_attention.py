@@ -58,8 +58,9 @@ def test_flash_forward_and_grads(interpreted_flash, shape):
 
 def test_flash_onepass_table_mode(interpreted_flash):
     """Short-seq table mode (sq = skv ≤ 1024): the whole q and kv ranges are
-    single blocks, so all THREE scratch-free one-pass kernels run (fwd, dq,
-    dkv) — the SDXL level-2 / cross-attention configuration."""
+    single blocks, so all three chunked kernels run with n_chunks == 1 (the
+    scratch-free one-pass reduction) — the SDXL level-2 / cross-attention
+    configuration."""
     from neurosis_tpu.ops.attention import _xla_attention
 
     fa = interpreted_flash
@@ -76,6 +77,30 @@ def test_flash_onepass_table_mode(interpreted_flash):
 
     g_ref = jax.grad(lambda *a: jnp.sum(_xla_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
     g_fl = jax.grad(lambda *a: jnp.sum(fa.flash_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
+
+
+def test_flash_twopass_fallback(interpreted_flash, monkeypatch):
+    """With NEUROSIS_FLASH_CHUNKED off (or VMEM-infeasible shapes) the
+    two-pass grid kernels run — they are no longer the default path, so this
+    guards them against silent regression."""
+    from neurosis_tpu.ops.attention import _xla_attention
+
+    fa = interpreted_flash
+    monkeypatch.setattr(fa, "_CHUNKED", False)
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 256, 64), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 300, 64), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 300, 64), jnp.float32)
+
+    ref = _xla_attention(q, k, v)
+    out = fa.flash_attention(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6, rtol=1e-4)
+
+    g_ref = jax.grad(lambda *a: jnp.sum(_xla_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(
+        lambda *a: jnp.sum(fa.flash_attention(*a, block_q=128, block_k=128) ** 2), argnums=(0, 1, 2)
+    )(q, k, v)
     for a, b_ in zip(g_ref, g_fl):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
 

@@ -59,6 +59,18 @@ def _pick_blocks(d_pad: int) -> tuple:
 # two-pass grid kernels everywhere (A/B escape hatch).
 _CHUNKED = os.environ.get("NEUROSIS_FLASH_CHUNKED", "1") != "0"
 _CHUNK_VMEM_BUDGET = 15_500_000  # bytes; scoped VMEM limit is 16 MiB
+# Split single-chunk rows (skv == block_k, e.g. the 1024-token SDXL level-2
+# self-attention — 60 blocks, the largest in-situ attention bucket) into two
+# chunks so the issue-first pipeline has something to overlap. Standalone
+# benches are overhead-dominated at this shape (±5% noise vs a +20% best
+# run), so the step-level bench decides this knob.
+_SPLIT_SHORT = os.environ.get("NEUROSIS_FLASH_SPLIT_SHORT", "0") == "1"
+
+
+def _pick_chunk(d: int, skv: int, block_k: int) -> int:
+    if _SPLIT_SHORT and skv == block_k and skv >= 512 and d <= 160:
+        return skv // 2
+    return block_k
 
 
 def _chunked_feasible(
@@ -240,13 +252,14 @@ def _fwd(qt, kt, vt, *, block_q, block_k, kv_len):
     skv = kt.shape[3]
     grid = (b, h, sq // block_q, skv // block_k)
 
-    if _chunked_feasible(d, block_q, skv, block_k, qt.dtype.itemsize):
+    chunk = _pick_chunk(d, skv, block_k)
+    if _chunked_feasible(d, block_q, skv, chunk, qt.dtype.itemsize):
         # whole kv row per cell, chunked issue-first pipeline
         q_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi: (bi, hi, 0, qi))
         kv_spec = pl.BlockSpec((1, 1, d, skv), lambda bi, hi, qi: (bi, hi, 0, 0))
         lse_spec = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, qi: (bi, hi, 0, qi))
         return pl.pallas_call(
-            functools.partial(_fwd_chunked_kernel, n_chunks=skv // block_k, kv_len=kv_len),
+            functools.partial(_fwd_chunked_kernel, n_chunks=skv // chunk, kv_len=kv_len),
             grid=grid[:3],
             in_specs=[q_spec, kv_spec, kv_spec],
             out_specs=(q_spec, lse_spec),
@@ -462,13 +475,14 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
     # st tiles AND a dpt tile live per chunk, so bq=512 is the VMEM sweet
     # spot (the extra (BK, BQ) dpt tile is what the fwd kernel doesn't have)
     bq_dq = min(block_q, 512) if sq % min(block_q, 512) == 0 else block_q
-    if _chunked_feasible(d, bq_dq, skv, block_k, qt.dtype.itemsize, bwd=True):
+    chunk = _pick_chunk(d, skv, block_k)
+    if _chunked_feasible(d, bq_dq, skv, chunk, qt.dtype.itemsize, bwd=True):
         q_spec1 = pl.BlockSpec((1, 1, d, bq_dq), lambda bi, hi, qi: (bi, hi, 0, qi))
         kv_spec1 = pl.BlockSpec((1, 1, d, skv), lambda bi, hi, qi: (bi, hi, 0, 0))
         stat_spec1 = pl.BlockSpec((1, 1, _STAT_ROWS, bq_dq), lambda bi, hi, qi: (bi, hi, 0, qi))
         dq = pl.pallas_call(
             functools.partial(
-                _bwd_dq_chunked_kernel, n_chunks=skv // block_k, scale=scale, kv_len=kv_len
+                _bwd_dq_chunked_kernel, n_chunks=skv // chunk, scale=scale, kv_len=kv_len
             ),
             grid=(b, h, sq // bq_dq),
             in_specs=[q_spec1, kv_spec1, kv_spec1, q_spec1, stat_spec1, stat_spec1],

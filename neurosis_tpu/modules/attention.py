@@ -14,6 +14,7 @@ SpatialTransformer boundary.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -26,6 +27,12 @@ from neurosis_tpu.ops.attention import dot_product_attention
 from .layers import Conv2d, Dense, GroupNorm32
 
 Dtype = jnp.dtype
+
+# Save the folded-path projection kernels (reshaped weights) as named remat
+# residuals: the in-situ profile attributes ~6 ms/step to 1280x1280
+# weight-layout copies re-materialized under remat (60 tx blocks x 4
+# projections). Costs ~0.8 GB HBM at SDXL b2. Step-level bench decides.
+_SAVE_PROJ_WT = os.environ.get("NEUROSIS_SAVE_PROJ_WT", "0") == "1"
 
 
 class GEGLU(nn.Module):
@@ -134,7 +141,10 @@ class CrossAttention(nn.Module):
         dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
 
         def kernel_of(mod):
-            return mod.variables["params"]["Dense_0"]["kernel"].astype(dt)
+            w = mod.variables["params"]["Dense_0"]["kernel"].astype(dt)
+            if _SAVE_PROJ_WT:
+                w = jax.ad_checkpoint.checkpoint_name(w, "proj_wt")
+            return w
 
         xq = x.astype(dt)
         xc = ctx.astype(dt)
@@ -265,7 +275,8 @@ class SpatialTransformer(nn.Module):
             import jax.ad_checkpoint as adc
 
             policy = None  # "full": recompute everything
-            names_policy = adc.checkpoint_policies.save_only_these_names("attn_out", "attn_lse")
+            saved_names = ("attn_out", "attn_lse") + (("proj_wt",) if _SAVE_PROJ_WT else ())
+            names_policy = adc.checkpoint_policies.save_only_these_names(*saved_names)
             if self.remat_policy == "dots":
                 policy = adc.checkpoint_policies.dots_with_no_batch_dims_saveable
             elif self.remat_policy == "dots_all":

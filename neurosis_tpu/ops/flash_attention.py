@@ -14,8 +14,18 @@ tuned for (unlike causal-LM flash kernels):
     waste half the MXU;
   - Sq/Skv from aspect buckets: q tail padded+sliced, kv tail masked in-softmax.
 
-Online softmax with fp32 accumulators in VMEM scratch; statistics saved as
-LSE = m + log(l) for the two backward kernels (dq and dkv).
+Two kernel families share the math:
+  - CHUNKED whole-row kernels (default wherever VMEM allows): one grid cell
+    owns the full kv row (or q range for dkv) split into chunks, with chunk
+    i+1's st matmul issued BEFORE chunk i's VPU softmax work — TPU matmuls
+    retire through asynchronous queues, so the MXU overlaps the exp2 passes
+    (+13% fwd+bwd at the SDXL level-1 shape, +31% at the VAE mid-attention;
+    tools/chunked_ab.py). Online-softmax state lives in registers.
+  - TWO-PASS grid kernels (fallback for VMEM-infeasible rows, e.g. 16k-token
+    SD1.5 level 0): online softmax with fp32 accumulators in VMEM scratch,
+    kv (or q) blocks iterated on an 'arbitrary' grid dim.
+Statistics saved as LSE = m + log(l) for the two backward kernels (dq, dkv);
+q is pre-scaled by scale·log2(e) outside the kernels (see _flash).
 """
 
 from __future__ import annotations

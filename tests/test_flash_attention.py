@@ -33,6 +33,8 @@ def interpreted_flash(monkeypatch):
     [
         (1, 2, 256, 256, 64),  # aligned self-attn
         (1, 2, 300, 77, 40),  # cross-attn, odd dims, kv masking
+        (1, 2, 256, 256, 160),  # SD1.5 level-2 head dim
+        (1, 1, 256, 256, 512),  # VAE mid-attention head dim (d ≥ 256 blocks)
     ],
 )
 def test_flash_forward_and_grads(interpreted_flash, shape):

@@ -72,9 +72,9 @@ _CHUNK_VMEM_BUDGET = 15_500_000  # bytes; scoped VMEM limit is 16 MiB
 # Split single-chunk rows (skv == block_k, e.g. the 1024-token SDXL level-2
 # self-attention — 60 blocks, the largest in-situ attention bucket) into two
 # chunks so the issue-first pipeline has something to overlap. Standalone
-# benches are overhead-dominated at this shape (±5% noise vs a +20% best
-# run), so the step-level bench decides this knob.
-_SPLIT_SHORT = os.environ.get("NEUROSIS_FLASH_SPLIT_SHORT", "0") == "1"
+# benches are overhead-dominated at this shape; the step-level A/B measured
+# 2.3335 vs 2.3242 steps/s (SDXL b2) — default ON.
+_SPLIT_SHORT = os.environ.get("NEUROSIS_FLASH_SPLIT_SHORT", "1") != "0"
 
 
 def _pick_chunk(d: int, skv: int, block_k: int) -> int:

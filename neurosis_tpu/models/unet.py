@@ -47,19 +47,43 @@ class ResBlock(nn.Module):
     skip_t_emb: bool = False
     dtype: Optional[Dtype] = None
 
+    def _fuse_ok(self, x: jax.Array, out_ch: int) -> bool:
+        """Gate for the fused GN+SiLU->conv path (NEUROSIS_FUSED_GN_CONV):
+        the Pallas kernel must actually take it — the unfused fallback is
+        perf-neutral churn."""
+        from neurosis_tpu.modules.layers import fused_gn_conv_enabled
+
+        if not fused_gn_conv_enabled():
+            return False
+        try:
+            from neurosis_tpu.ops.conv3x3 import (
+                gn_silu_conv3x3_available,
+                gn_silu_conv3x3_supported,
+            )
+
+            return gn_silu_conv3x3_available() and gn_silu_conv3x3_supported(
+                x.shape, (3, 3, x.shape[-1], out_ch), 1, 1, self.dtype or x.dtype
+            )
+        except Exception:  # pragma: no cover - dispatch probe only
+            return False
+
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, deterministic: bool = True) -> jax.Array:
         out_ch = self.out_channels or self.channels
 
-        h = GroupNorm32(32, name="in_layers.0")(x)
-        h = nn.silu(h)
-        if self.up:
-            h = _upsample_nearest(h)
-            x = _upsample_nearest(x)
-        elif self.down:
-            h = nn.avg_pool(h, (2, 2), (2, 2))
-            x = nn.avg_pool(x, (2, 2), (2, 2))
-        h = Conv2d(out_ch, 3, dtype=self.dtype, name="in_layers.2")(h)
+        gn_in = GroupNorm32(32, name="in_layers.0")
+        conv_in = Conv2d(out_ch, 3, dtype=self.dtype, name="in_layers.2")
+        if not (self.up or self.down) and self._fuse_ok(x, out_ch):
+            h = conv_in(x, gn_affine=gn_in(x, fold=True))
+        else:
+            h = nn.silu(gn_in(x))
+            if self.up:
+                h = _upsample_nearest(h)
+                x = _upsample_nearest(x)
+            elif self.down:
+                h = nn.avg_pool(h, (2, 2), (2, 2))
+                x = nn.avg_pool(x, (2, 2), (2, 2))
+            h = conv_in(h)
 
         if self.skip_t_emb:
             emb_out = jnp.zeros_like(h)
@@ -69,16 +93,35 @@ class ResBlock(nn.Module):
             e = Dense(emb_ch, dtype=self.dtype, name="emb_layers.1")(e)
             emb_out = e[:, None, None, :].astype(h.dtype)
 
+        gn_out = GroupNorm32(32, name="out_layers.0")
+        conv_out = Conv2d(out_ch, 3, dtype=self.dtype, zero_init=True, name="out_layers.3")
+        fuse_out = (self.dropout == 0.0 or deterministic) and self._fuse_ok(h, out_ch)
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(32, name="out_layers.0")(h) * (1 + scale) + shift
+            if fuse_out:
+                # gn(h)*(1+scale)+shift folds into the affine:
+                # a' = a*(1+scale), b' = b*(1+scale)+shift (per batch, channel)
+                a, b = gn_out(h, fold=True)
+                s = 1.0 + scale[:, 0, 0, :].astype(jnp.float32)
+                a = a * s
+                b = b * s + shift[:, 0, 0, :].astype(jnp.float32)
+                h = conv_out(h, gn_affine=(a, b))
+            else:
+                h = gn_out(h) * (1 + scale) + shift
+                h = nn.silu(h)
+                if self.dropout > 0.0:
+                    h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+                h = conv_out(h)
         else:
             h = h + emb_out
-            h = GroupNorm32(32, name="out_layers.0")(h)
-        h = nn.silu(h)
-        if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = Conv2d(out_ch, 3, dtype=self.dtype, zero_init=True, name="out_layers.3")(h)
+            if fuse_out:
+                h = conv_out(h, gn_affine=gn_out(h, fold=True))
+            else:
+                h = gn_out(h)
+                h = nn.silu(h)
+                if self.dropout > 0.0:
+                    h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+                h = conv_out(h)
 
         if out_ch == self.channels:
             skip = x

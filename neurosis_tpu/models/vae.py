@@ -40,6 +40,24 @@ class ResnetBlock(nn.Module):
     temb_channels: int = 0
     dtype: Optional[Dtype] = None
 
+    def _fuse_ok(self, x: jax.Array, out_ch: int) -> bool:
+        """Fused GN+SiLU->conv gate (NEUROSIS_FUSED_GN_CONV; see unet.ResBlock)."""
+        from neurosis_tpu.modules.layers import fused_gn_conv_enabled
+
+        if not fused_gn_conv_enabled():
+            return False
+        try:
+            from neurosis_tpu.ops.conv3x3 import (
+                gn_silu_conv3x3_available,
+                gn_silu_conv3x3_supported,
+            )
+
+            return gn_silu_conv3x3_available() and gn_silu_conv3x3_supported(
+                x.shape, (3, 3, x.shape[-1], out_ch), 1, 1, self.dtype or x.dtype
+            )
+        except Exception:  # pragma: no cover - dispatch probe only
+            return False
+
     @nn.compact
     def __call__(
         self,
@@ -48,18 +66,25 @@ class ResnetBlock(nn.Module):
         temb: Optional[jax.Array] = None,
     ) -> jax.Array:
         out_ch = self.out_channels or self.in_channels
-        h = GroupNorm32(32, epsilon=1e-6, name="norm1")(x)
-        h = nn.silu(h)
-        h = Conv2d(out_ch, 3, dtype=self.dtype, name="conv1")(h)
+        gn1 = GroupNorm32(32, epsilon=1e-6, name="norm1")
+        conv1 = Conv2d(out_ch, 3, dtype=self.dtype, name="conv1")
+        if self._fuse_ok(x, out_ch):
+            h = conv1(x, gn_affine=gn1(x, fold=True))
+        else:
+            h = conv1(nn.silu(gn1(x)))
         if self.temb_channels > 0:
             assert temb is not None, "ResnetBlock with temb_channels>0 needs temb"
             e = nn.Dense(out_ch, dtype=self.dtype, param_dtype=jnp.float32, name="temb_proj")(nn.silu(temb))
             h = h + e[:, None, None, :].astype(h.dtype)
-        h = GroupNorm32(32, epsilon=1e-6, name="norm2")(h)
-        h = nn.silu(h)
-        if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = Conv2d(out_ch, 3, dtype=self.dtype, name="conv2")(h)
+        gn2 = GroupNorm32(32, epsilon=1e-6, name="norm2")
+        conv2 = Conv2d(out_ch, 3, dtype=self.dtype, name="conv2")
+        if (self.dropout == 0.0 or deterministic) and self._fuse_ok(h, out_ch):
+            h = conv2(h, gn_affine=gn2(h, fold=True))
+        else:
+            h = nn.silu(gn2(h))
+            if self.dropout > 0.0:
+                h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = conv2(h)
         if self.in_channels != out_ch:
             if self.conv_shortcut:
                 x = Conv2d(out_ch, 3, dtype=self.dtype, name="conv_shortcut")(x)

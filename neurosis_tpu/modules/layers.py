@@ -57,7 +57,26 @@ class GroupNorm32(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, fold: bool = False):
+        if fold:
+            # Fold to a per-(batch, channel) affine (a, b) with gn(x) ==
+            # x*a + b, for fusion into a downstream conv (ops/conv3x3.py
+            # gn_silu_conv3x3). Params live at the same tree path as the
+            # unfused nn.GroupNorm child, so checkpoints are identical.
+            scale, bias = _GNAffineParams(x.shape[-1], name="GroupNorm_0")()
+            xf = x.astype(jnp.float32)
+            bsz, h, w, c = x.shape
+            g = self.num_groups
+            xg = xf.reshape(bsz, h * w, g, c // g)
+            mean = jnp.mean(xg, axis=(1, 3))
+            # flax _compute_stats: var = max(0, E[x^2] - E[x]^2)
+            var = jnp.maximum(jnp.mean(jnp.square(xg), axis=(1, 3)) - jnp.square(mean), 0.0)
+            rstd = jax.lax.rsqrt(var + self.epsilon)
+            rstd_c = jnp.repeat(rstd, c // g, axis=1)
+            mean_c = jnp.repeat(mean, c // g, axis=1)
+            a = scale[None, :] * rstd_c
+            b = bias[None, :] - mean_c * a
+            return a, b
         orig_dtype = x.dtype
         x = x.astype(jnp.float32)
         # NOTE (measured, round 2): a layout-friendly channel-moment rewrite
@@ -73,6 +92,25 @@ class GroupNorm32(nn.Module):
             param_dtype=jnp.float32,
         )(x)
         return out.astype(orig_dtype)
+
+
+class _GNAffineParams(nn.Module):
+    """Param-tree twin of flax nn.GroupNorm: declares the same scale/bias
+    leaves (names, shapes, inits, fp32) without running the normalize."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(), (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        return scale, bias
+
+
+def fused_gn_conv_enabled() -> bool:
+    import os
+
+    return os.environ.get("NEUROSIS_FUSED_GN_CONV", "0").lower() in ("1", "true")
 
 
 def nearest_upsample_2x(x: jax.Array) -> jax.Array:
@@ -108,7 +146,7 @@ class _RawConv(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, gn_affine=None) -> jax.Array:
         in_ch = x.shape[-1]
         kshape = (self.kernel_size, self.kernel_size, in_ch, self.features)
         kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
@@ -117,7 +155,25 @@ class _RawConv(nn.Module):
         dtype = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
         kernel = kernel.astype(dtype)
         x = x.astype(dtype)
-        if self.use_pallas:
+        if gn_affine is not None:
+            # folded GroupNorm+SiLU producer: fuse into the Pallas kernel's
+            # tile loads, or apply unfused before the XLA conv
+            a, b = gn_affine
+            if self.use_pallas:
+                from neurosis_tpu.ops.conv3x3 import gn_silu_conv3x3
+
+                y = gn_silu_conv3x3(x, a, b, kernel)
+            else:
+                from neurosis_tpu.ops.conv3x3 import gn_silu_affine
+
+                y = jax.lax.conv_general_dilated(
+                    gn_silu_affine(x, a, b),
+                    kernel,
+                    (self.stride, self.stride),
+                    ((self.pad, self.pad), (self.pad, self.pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+        elif self.use_pallas:
             from neurosis_tpu.ops.conv3x3 import conv3x3
 
             y = conv3x3(x, kernel)
@@ -152,23 +208,29 @@ class Conv2d(nn.Module):
     zero_init: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, gn_affine=None) -> jax.Array:
         pad = self.padding if self.padding is not None else self.kernel_size // 2
         kernel_init = nn.initializers.zeros_init() if self.zero_init else nn.initializers.lecun_normal()
 
         use_pallas = False
         if _pallas_conv_enabled():
             try:
-                from neurosis_tpu.ops.conv3x3 import conv3x3_supported
+                from neurosis_tpu.ops.conv3x3 import (
+                    conv3x3_supported,
+                    gn_silu_conv3x3_available,
+                    gn_silu_conv3x3_supported,
+                )
 
                 dtype = self.dtype or x.dtype
-                use_pallas = jax.default_backend() == "tpu" and conv3x3_supported(
-                    x.shape,
-                    (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
-                    self.stride,
-                    pad,
-                    dtype,
-                )
+                wshape = (self.kernel_size, self.kernel_size, x.shape[-1], self.features)
+                if gn_affine is not None:
+                    use_pallas = gn_silu_conv3x3_available() and gn_silu_conv3x3_supported(
+                        x.shape, wshape, self.stride, pad, dtype
+                    )
+                else:
+                    use_pallas = jax.default_backend() == "tpu" and conv3x3_supported(
+                        x.shape, wshape, self.stride, pad, dtype
+                    )
             except Exception:  # pragma: no cover - dispatch probe only
                 use_pallas = False
 
@@ -182,7 +244,7 @@ class Conv2d(nn.Module):
             kernel_init=kernel_init,
             use_pallas=use_pallas,
             name="Conv_0",
-        )(x)
+        )(x, gn_affine=gn_affine)
 
 
 class Dense(nn.Module):

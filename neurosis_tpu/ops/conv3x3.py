@@ -76,12 +76,14 @@ def _kernel(x_hbm, w_ref, o_ref, acc_ref, xt_ref, sem, *, bh, width, w_halo, bc,
         o_ref[0] = acc_ref[:].reshape(bh, width, feat).astype(o_ref.dtype)
 
 
-def _vmem_use(bh: int, w_len: int, w_halo: int, bc: int, feat: int) -> int:
-    """Pipeline VMEM: fp32 acc + DOUBLE-buffered w/out blocks + halo tile."""
+def _vmem_use(bh: int, w_len: int, w_halo: int, bc: int, feat: int, tile_mult: int = 1) -> int:
+    """Pipeline VMEM: fp32 acc + DOUBLE-buffered w/out blocks + halo tile.
+    tile_mult budgets in-kernel temporaries over the tile (the fused-GN
+    normalize holds an fp32 copy of the bf16 tile: mult 3)."""
     acc = bh * w_len * feat * 4
     wbuf = 2 * 9 * bc * feat * 2
     out = 2 * bh * w_len * feat * 2
-    tile = (bh + 2) * w_halo * bc * 2
+    tile = (bh + 2) * w_halo * bc * 2 * tile_mult
     return acc + wbuf + out + tile
 
 
@@ -89,7 +91,7 @@ def _round128(n: int) -> int:
     return ((n + 127) // 128) * 128
 
 
-def _pick_blocks(h: int, w_len: int, c: int, feat: int):
+def _pick_blocks(h: int, w_len: int, c: int, feat: int, tile_mult: int = 1):
     """(bh, bc) fitting the scoped-VMEM limit with the largest GEMM tiles.
     c/feat are the 128-padded dims (lane tiling: DMA slices and blocks must
     be 128-aligned on the minor dim)."""
@@ -99,7 +101,7 @@ def _pick_blocks(h: int, w_len: int, c: int, feat: int):
         if h % bh or bh * w_len < 128:
             continue
         for bc in bcs:
-            if _vmem_use(bh, w_len, w_halo, bc, feat) <= _VMEM_LIMIT:
+            if _vmem_use(bh, w_len, w_halo, bc, feat, tile_mult) <= _VMEM_LIMIT:
                 return bh, bc
     return 0, 0
 
@@ -152,6 +154,199 @@ def _xla_conv(x, w):
     return jax.lax.conv_general_dilated(
         x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused GroupNorm+SiLU -> conv3x3
+#
+# The ResBlock pattern GN -> SiLU -> 3x3 conv (reference openaimodel.py
+# in_layers/out_layers) materializes the activated tensor between the norm
+# and the conv: XLA cannot fuse elementwise producers into a convolution, so
+# the step pays a full write + read of the activation per pair (the "loop
+# fusions" bucket in the NOTES profile). Here GroupNorm folds to a per-
+# (batch, channel) affine a,b computed OUTSIDE the kernel from one stats
+# pass over x (a = gamma*rstd, b = beta - mean*a), and the conv kernel
+# normalizes + SiLUs its halo tiles in VMEM right after the DMA — the
+# activated tensor never exists in HBM.
+#
+# Gradient strategy: the custom_vjp treats (x, a, b) as independent inputs
+# and returns only the DIRECT partials (dpre*a, sum(dpre*x), sum(dpre));
+# since a,b are traced functions of x's statistics outside the vjp, JAX
+# composes the full GroupNorm gradient automatically.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_gn(x_hbm, a_ref, b_ref, w_ref, o_ref, acc_ref, xt_ref, sem, *, bh, width, w_halo, bc, feat, height):
+    nc = pl.num_programs(2)
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    ci = pl.program_id(2)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(hi * bh, bh + 2), :, pl.ds(ci * bc, bc)],
+        xt_ref,
+        sem,
+    )
+    cp.start()
+
+    @pl.when(ci == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cp.wait()
+
+    # Normalize the tile in fp32 (GroupNorm32 numerics), cast to the compute
+    # dtype, SiLU — then zero the conv's spatial padding: in the unfused path
+    # padding is applied AFTER norm+act, so border zeros must stay zeros
+    # (silu(b) otherwise). Channel padding needs no mask: padded a,b are 0 and
+    # silu(0) = 0.
+    row = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, w_halo), 0) + hi * bh
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, w_halo), 1)
+    valid = (row >= 1) & (row <= height) & (col >= 1) & (col <= width)
+    pre = xt_ref[:].astype(jnp.float32) * a_ref[0][None, None, :] + b_ref[0][None, None, :]
+    act = pre.astype(xt_ref.dtype)
+    act = act * jax.nn.sigmoid(act)
+    xt_ref[:] = jnp.where(valid[:, :, None], act, jnp.zeros_like(act))
+
+    for dy in range(3):
+        for dx in range(3):
+            xt = xt_ref[dy : dy + bh, dx : dx + width, :].reshape(bh * width, bc)
+            acc_ref[:] += jax.lax.dot_general(
+                xt,
+                w_ref[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(ci == nc - 1)
+    def _finalize():
+        o_ref[0] = acc_ref[:].reshape(bh, width, feat).astype(o_ref.dtype)
+
+
+def _gn_conv_fwd(x: jax.Array, a: jax.Array, b: jax.Array, w: jax.Array) -> jax.Array:
+    bsz, h, width, c = x.shape
+    feat = w.shape[3]
+    c_pad, f_pad = _round128(c), _round128(feat)
+    # fp32 normalize temp lives alongside the tile: budget ~3x the bf16 tile
+    w_halo = ((width + 2 + 7) // 8) * 8
+    bh, bc = _pick_blocks(h, width, c_pad, f_pad, tile_mult=3)
+    if bh == 0:
+        raise ValueError(f"no VMEM-feasible block for shape {x.shape}->{feat}")
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, w_halo - width - 1), (0, c_pad - c)))
+    if c_pad != c:
+        a = jnp.pad(a, ((0, 0), (0, c_pad - c)))
+        b = jnp.pad(b, ((0, 0), (0, c_pad - c)))
+    if (c_pad, f_pad) != (c, feat):
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad - c), (0, f_pad - feat)))
+    grid = (bsz, h // bh, c_pad // bc)
+
+    a_spec = pl.BlockSpec((1, bc), lambda bi, hi, ci: (bi, ci))
+    w_spec = pl.BlockSpec((3, 3, bc, f_pad), lambda bi, hi, ci: (0, 0, ci, 0))
+    o_spec = pl.BlockSpec((1, bh, width, f_pad), lambda bi, hi, ci: (bi, hi, 0, 0))
+
+    kernel = functools.partial(
+        _kernel_gn, bh=bh, width=width, w_halo=w_halo, bc=bc, feat=f_pad, height=h
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), a_spec, a_spec, w_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, h, width, f_pad), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bh * width, f_pad), jnp.float32),
+            pltpu.VMEM((bh + 2, w_halo, bc), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * bsz * h * width * c * feat,
+            bytes_accessed=2 * (bsz * h * width * (c + feat)) + 9 * c * feat * 2,
+            transcendentals=bsz * h * width * c,
+        ),
+        interpret=_INTERPRET,
+    )(xp, a.astype(jnp.float32), b.astype(jnp.float32), w)
+    return out[..., :feat] if f_pad != feat else out
+
+
+def gn_silu_affine(x: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Unfused normalize+activate (fallback + parity oracle): fp32 affine,
+    cast to x.dtype, SiLU — the exact op order the kernel fuses."""
+    pre = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
+    act = pre.astype(x.dtype)
+    return act * jax.nn.sigmoid(act)
+
+
+@jax.custom_vjp
+def gn_silu_conv3x3(x: jax.Array, a: jax.Array, b: jax.Array, w: jax.Array) -> jax.Array:
+    """conv3x3(silu((x*a + b).astype(x.dtype)), w) with norm+act fused into
+    the conv's VMEM tiles. a, b are per-(batch, channel) fp32 affines (the
+    folded GroupNorm); grads wrt a, b compose with the stats chain outside."""
+    return _gn_conv_fwd(x, a, b, w)
+
+
+def _gn_vjp_fwd(x, a, b, w):
+    return _gn_conv_fwd(x, a, b, w), (x, a, b, w)
+
+
+def _gn_vjp_bwd(res, dy):
+    x, a, b, w = res
+    # recompute the activation chain from x (elementwise; XLA fuses it into
+    # the surrounding passes — the fwd saved the write+read this costs)
+    pre = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
+    y_act = gn_silu_affine(x, a, b)
+
+    # dgrad: same dispatch as conv3x3's bwd
+    w_flip = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+    c_in = x.shape[-1]
+    if c_in <= 1280 and c_in % 128 == 0 and w.shape[3] % 128 == 0 and not _INTERPRET:
+        dact = _conv_fwd(dy, w_flip.astype(dy.dtype))
+    else:
+        dact = jax.lax.conv_general_dilated(
+            dy,
+            w_flip.astype(dy.dtype),
+            (1, 1),
+            ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    # silu'(p) = sig(p) * (1 + p * (1 - sig(p))) in fp32
+    sig = jax.nn.sigmoid(pre)
+    dpre = dact.astype(jnp.float32) * sig * (1.0 + pre * (1.0 - sig))
+    dx = (dpre * a[:, None, None, :]).astype(x.dtype)
+    da = jnp.sum(dpre * x.astype(jnp.float32), axis=(1, 2))
+    db = jnp.sum(dpre, axis=(1, 2))
+
+    # wgrad: one direct XLA conv on the recomputed activation (see _vjp_bwd)
+    lhs = jnp.pad(y_act, ((0, 0), (1, 1), (1, 1), (0, 0))).transpose(3, 1, 2, 0)
+    rhs = dy.transpose(1, 2, 0, 3)
+    dw = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        (1, 1),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).transpose(1, 2, 0, 3)
+    return dx, da.astype(a.dtype), db.astype(b.dtype), dw.astype(w.dtype)
+
+
+gn_silu_conv3x3.defvjp(_gn_vjp_fwd, _gn_vjp_bwd)
+
+
+def gn_silu_conv3x3_available() -> bool:
+    """The fused kernel runs on TPU (or anywhere under the interpreter)."""
+    return _INTERPRET or jax.default_backend() == "tpu"
+
+
+def gn_silu_conv3x3_supported(x_shape, w_shape, stride, padding, dtype) -> bool:
+    """conv3x3_supported + VMEM headroom for the in-kernel fp32 normalize."""
+    if not conv3x3_supported(x_shape, w_shape, stride, padding, dtype):
+        return False
+    _b, h, width, c = x_shape
+    return _pick_blocks(h, width, _round128(c), _round128(w_shape[3]), tile_mult=3)[0] > 0
 
 
 @jax.custom_vjp

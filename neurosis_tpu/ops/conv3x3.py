@@ -203,10 +203,12 @@ def _kernel_gn(x_hbm, a_ref, b_ref, w_ref, o_ref, acc_ref, xt_ref, sem, *, bh, w
     row = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, w_halo), 0) + hi * bh
     col = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, w_halo), 1)
     valid = (row >= 1) & (row <= height) & (col >= 1) & (col <= width)
-    pre = xt_ref[:].astype(jnp.float32) * a_ref[0][None, None, :] + b_ref[0][None, None, :]
-    act = pre.astype(xt_ref.dtype)
+    pre = xt_ref[:].astype(jnp.float32) * a_ref[0, 0][None, None, :] + b_ref[0, 0][None, None, :]
+    # silu in fp32 at the bf16-rounded point (Mosaic rejects bf16 logistic
+    # lowering here; fp32 matches the unfused path to bf16 output rounding)
+    act = pre.astype(xt_ref.dtype).astype(jnp.float32)
     act = act * jax.nn.sigmoid(act)
-    xt_ref[:] = jnp.where(valid[:, :, None], act, jnp.zeros_like(act))
+    xt_ref[:] = jnp.where(valid[:, :, None], act, 0.0).astype(xt_ref.dtype)
 
     for dy in range(3):
         for dx in range(3):
@@ -241,7 +243,11 @@ def _gn_conv_fwd(x: jax.Array, a: jax.Array, b: jax.Array, w: jax.Array) -> jax.
         w = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad - c), (0, f_pad - feat)))
     grid = (bsz, h // bh, c_pad // bc)
 
-    a_spec = pl.BlockSpec((1, bc), lambda bi, hi, ci: (bi, ci))
+    # a/b staged as (B, 8, C): Mosaic requires the block's sublane dim to be
+    # a multiple of 8 (a (1, bc) block of a (B, C) array is rejected)
+    a = jnp.broadcast_to(a[:, None, :].astype(jnp.float32), (bsz, 8, c_pad))
+    b = jnp.broadcast_to(b[:, None, :].astype(jnp.float32), (bsz, 8, c_pad))
+    a_spec = pl.BlockSpec((1, 8, bc), lambda bi, hi, ci: (bi, 0, ci))
     w_spec = pl.BlockSpec((3, 3, bc, f_pad), lambda bi, hi, ci: (0, 0, ci, 0))
     o_spec = pl.BlockSpec((1, bh, width, f_pad), lambda bi, hi, ci: (bi, hi, 0, 0))
 
@@ -268,7 +274,7 @@ def _gn_conv_fwd(x: jax.Array, a: jax.Array, b: jax.Array, w: jax.Array) -> jax.
             transcendentals=bsz * h * width * c,
         ),
         interpret=_INTERPRET,
-    )(xp, a.astype(jnp.float32), b.astype(jnp.float32), w)
+    )(xp, a, b, w)
     return out[..., :feat] if f_pad != feat else out
 
 

@@ -75,6 +75,11 @@ _CHUNK_VMEM_BUDGET = 15_500_000  # bytes; scoped VMEM limit is 16 MiB
 # benches are overhead-dominated at this shape; the step-level A/B measured
 # 2.3335 vs 2.3242 steps/s (SDXL b2) — default ON.
 _SPLIT_SHORT = os.environ.get("NEUROSIS_FLASH_SPLIT_SHORT", "1") != "0"
+# Wide-row kernels for small-kv rows (cross-attention): one cell per
+# (batch, head-group) instead of per (b, h, q-block) — the r3c profile shows
+# cross-attention calls are 4-10x per-cell fixed cost. NEUROSIS_FLASH_WIDE=0
+# restores the per-q-block grid.
+_WIDE = os.environ.get("NEUROSIS_FLASH_WIDE", "1") != "0"
 
 
 def _pick_chunk(d: int, skv: int, block_k: int) -> int:
@@ -257,10 +262,97 @@ def _fwd_chunked_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, n_chunks, kv_len
     lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+def _fwd_wide_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, hg, n_cq, kv_len):
+    """Wide-row forward for SMALL kv (cross-attention: skv_pad ≤ 256 fits one
+    chunk, so there is no online-softmax state at all): one grid cell owns hg
+    heads × the WHOLE q range, iterated as hg·n_cq (head, q-chunk) steps with
+    the next step's st matmul issued before this step's VPU softmax — the
+    per-call picture for cross-attention is 60–320 near-empty cells whose
+    fixed cost is 4–10× the useful work (r3c profile: 8.3 ms/step of sdpa
+    time holds ~1% of the flops)."""
+    sq = q_ref.shape[3]
+    cq = sq // n_cq
+    skv = k_ref.shape[3]
+    steps = [(g, j) for g in range(hg) for j in range(n_cq)]
+
+    def _issue(idx):
+        g, j = steps[idx]
+        return _dg(k_ref[0, g], q_ref[0, g][:, j * cq : (j + 1) * cq], ((0,), (0,)))
+
+    st_next = _issue(0)
+    for i, (g, j) in enumerate(steps):
+        st_i = st_next
+        if i + 1 < len(steps):
+            st_next = _issue(i + 1)
+        if kv_len is not None and skv > kv_len:
+            row = jax.lax.broadcasted_iota(jnp.int32, st_i.shape, 0)
+            st_i = jnp.where(row < kv_len, st_i, NEG_INF)
+        m = jnp.max(st_i, axis=0, keepdims=True)  # (1, CQ)
+        pt = jnp.exp2(st_i - m)
+        l = jnp.sum(pt, axis=0, keepdims=True)
+        o = _dg(v_ref[0, g], pt.astype(v_ref.dtype), ((1,), (0,)))  # (D, CQ)
+        o_ref[0, g, :, j * cq : (j + 1) * cq] = (o / l).astype(o_ref.dtype)
+        lse = m * (1.0 / LOG2_E) + jnp.log(jnp.maximum(l, 1e-30))
+        lse_ref[0, g, :, j * cq : (j + 1) * cq] = jnp.broadcast_to(
+            lse, (lse_ref.shape[2], cq)
+        )
+
+
+def _wide_cfg(b: int, h: int, d: int, sq: int, skv: int, bwd: bool = False):
+    """(hg, n_cq) for the wide-row small-kv path, or None if infeasible.
+
+    Targets ≥2 pipeline steps and ~4096 q positions per cell; VMEM per cell is
+    hg whole-row q/o(/do/dq) operands + two in-flight (skv, cq) fp32 st tiles
+    (+ dpt in bwd)."""
+    if not _WIDE or skv > 256 or sq < 512 or d > 160:
+        return None
+    cq = min(1024, sq)
+    if sq % cq:
+        return None
+    hg = 1
+    for cand in (8, 4, 2):
+        if h % cand == 0 and cand * sq <= 8192:
+            hg = cand
+            break
+    n_cq = sq // cq
+    if hg * n_cq < 2:
+        return None
+    per_head = d * sq * (2 + 2 + (4 if bwd else 0))  # q + o (+ do/dq bf16 ≈ 4B)
+    stats = (2 if bwd else 1) * _STAT_ROWS * sq * 4
+    tiles = (3 if bwd else 2) * skv * cq * 4 + skv * cq * 2
+    use = hg * (per_head + stats + 2 * d * skv * 2) + tiles
+    return (hg, n_cq) if use <= _CHUNK_VMEM_BUDGET else None
+
+
 def _fwd(qt, kt, vt, *, block_q, block_k, kv_len):
     b, h, d, sq = qt.shape
     skv = kt.shape[3]
     grid = (b, h, sq // block_q, skv // block_k)
+
+    wide = _wide_cfg(b, h, d, sq, skv)
+    if wide is not None:
+        hg, n_cq = wide
+        q_spec = pl.BlockSpec((1, hg, d, sq), lambda bi, hi: (bi, hi, 0, 0))
+        kv_spec = pl.BlockSpec((1, hg, d, skv), lambda bi, hi: (bi, hi, 0, 0))
+        lse_spec = pl.BlockSpec((1, hg, _STAT_ROWS, sq), lambda bi, hi: (bi, hi, 0, 0))
+        return pl.pallas_call(
+            functools.partial(_fwd_wide_kernel, hg=hg, n_cq=n_cq, kv_len=kv_len),
+            grid=(b, h // hg),
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=(q_spec, lse_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, h, d, sq), qt.dtype),
+                jax.ShapeDtypeStruct((b, h, _STAT_ROWS, sq), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * sq * skv * d,
+                bytes_accessed=2 * (b * h * sq * d + 2 * b * h * skv * d),
+                transcendentals=b * h * sq * skv,
+            ),
+        )(qt, kt, vt)
 
     chunk = _pick_chunk(d, skv, block_k)
     if _chunked_feasible(d, block_q, skv, chunk, qt.dtype.itemsize):
@@ -393,6 +485,38 @@ def _bwd_dq_chunked_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
     dq_ref[0, 0] = (acc * scale).astype(dq_ref.dtype)
 
 
+def _bwd_dq_wide_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
+                        *, hg, n_cq, scale, kv_len):
+    """Wide-row small-kv dq: one cell per (b, head-group) × whole q, iterated
+    as hg·n_cq steps with the next st issued before this step's VPU work
+    (see _fwd_wide_kernel)."""
+    sq = q_ref.shape[3]
+    cq = sq // n_cq
+    skv = k_ref.shape[3]
+    steps = [(g, j) for g in range(hg) for j in range(n_cq)]
+
+    def _issue(idx):
+        g, j = steps[idx]
+        return _dg(k_ref[0, g], q_ref[0, g][:, j * cq : (j + 1) * cq], ((0,), (0,)))
+
+    st_next = _issue(0)
+    for i, (g, j) in enumerate(steps):
+        st_i = st_next
+        if i + 1 < len(steps):
+            st_next = _issue(i + 1)
+        if kv_len is not None and skv > kv_len:
+            row = jax.lax.broadcasted_iota(jnp.int32, st_i.shape, 0)
+            st_i = jnp.where(row < kv_len, st_i, NEG_INF)
+        lse2 = lse_ref[0, g][0:1, j * cq : (j + 1) * cq] * LOG2_E
+        di = di_ref[0, g][0:1, j * cq : (j + 1) * cq]
+        pt = jnp.exp2(st_i - lse2)  # (SKV, CQ)
+        dot_j = do_ref[0, g][:, j * cq : (j + 1) * cq]
+        dpt = _dg(v_ref[0, g], dot_j, ((0,), (0,)))  # (SKV, CQ)
+        dst = (pt * (dpt - di)).astype(k_ref.dtype)
+        dq = _dg(k_ref[0, g], dst, ((1,), (0,)))  # (D, CQ)
+        dq_ref[0, g, :, j * cq : (j + 1) * cq] = (dq * scale).astype(dq_ref.dtype)
+
+
 def _bwd_dkv_chunked_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
                             *, n_chunks, kv_len):
     """Whole-q dk/dv: one grid cell owns a kv block and the FULL q range,
@@ -431,6 +555,43 @@ def _bwd_dkv_chunked_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref
     # dk = q·dsᵀ·scale with q = q̃/(scale·log2e) ⇒ dk = q̃·dsᵀ/log2e
     dk_ref[0, 0] = (dk * (1.0 / LOG2_E)).astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_dkv_wide_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+                         *, hg, n_cq, kv_len):
+    """Wide-row small-kv dk/dv: one cell per (b, head-group), whole q per head
+    chunked issue-first; register-carried per-head dk/dv accumulators."""
+    sq = q_ref.shape[3]
+    cq = sq // n_cq
+    skv = k_ref.shape[3]
+    steps = [(g, j) for g in range(hg) for j in range(n_cq)]
+
+    def _issue(idx):
+        g, j = steps[idx]
+        return _dg(k_ref[0, g], q_ref[0, g][:, j * cq : (j + 1) * cq], ((0,), (0,)))
+
+    st_next = _issue(0)
+    dk = dv = None
+    for i, (g, j) in enumerate(steps):
+        st_j = st_next
+        if i + 1 < len(steps):
+            st_next = _issue(i + 1)
+        lse2 = lse_ref[0, g][0:1, j * cq : (j + 1) * cq] * LOG2_E
+        pt = jnp.exp2(st_j - lse2)  # (SKV, CQ)
+        if kv_len is not None and skv > kv_len:
+            row = jax.lax.broadcasted_iota(jnp.int32, pt.shape, 0)
+            pt = jnp.where(row < kv_len, pt, 0.0)
+        dot_j = do_ref[0, g][:, j * cq : (j + 1) * cq]
+        dv_c = _dg(dot_j, pt.astype(do_ref.dtype), ((1,), (1,)))  # (D, SKV)
+        dpt = _dg(v_ref[0, g], dot_j, ((0,), (0,)))  # (SKV, CQ)
+        di = di_ref[0, g][0:1, j * cq : (j + 1) * cq]
+        dst = (pt * (dpt - di)).astype(q_ref.dtype)
+        dk_c = _dg(q_ref[0, g][:, j * cq : (j + 1) * cq], dst, ((1,), (1,)))  # (D, SKV)
+        dk = dk_c if j == 0 else dk + dk_c
+        dv = dv_c if j == 0 else dv + dv_c
+        if j == n_cq - 1:
+            dk_ref[0, g] = (dk * (1.0 / LOG2_E)).astype(dk_ref.dtype)
+            dv_ref[0, g] = dv.astype(dv_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, dk_acc, dv_acc,
@@ -486,7 +647,25 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
     # spot (the extra (BK, BQ) dpt tile is what the fwd kernel doesn't have)
     bq_dq = min(block_q, 512) if sq % min(block_q, 512) == 0 else block_q
     chunk = _pick_chunk(d, skv, block_k)
-    if _chunked_feasible(d, bq_dq, skv, chunk, qt.dtype.itemsize, bwd=True):
+    wide = _wide_cfg(b, h, d, sq, skv, bwd=True)
+    if wide is not None:
+        hg, n_cq = wide
+        q_specw = pl.BlockSpec((1, hg, d, sq), lambda bi, hi: (bi, hi, 0, 0))
+        kv_specw = pl.BlockSpec((1, hg, d, skv), lambda bi, hi: (bi, hi, 0, 0))
+        stat_specw = pl.BlockSpec((1, hg, _STAT_ROWS, sq), lambda bi, hi: (bi, hi, 0, 0))
+        dq = pl.pallas_call(
+            functools.partial(
+                _bwd_dq_wide_kernel, hg=hg, n_cq=n_cq, scale=scale, kv_len=kv_len
+            ),
+            grid=(b, h // hg),
+            in_specs=[q_specw, kv_specw, kv_specw, q_specw, stat_specw, stat_specw],
+            out_specs=q_specw,
+            out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+        )(qt, kt, vt, dot, lse, di)
+    elif _chunked_feasible(d, bq_dq, skv, chunk, qt.dtype.itemsize, bwd=True):
         q_spec1 = pl.BlockSpec((1, 1, d, bq_dq), lambda bi, hi, qi: (bi, hi, 0, qi))
         kv_spec1 = pl.BlockSpec((1, 1, d, skv), lambda bi, hi, qi: (bi, hi, 0, 0))
         stat_spec1 = pl.BlockSpec((1, 1, _STAT_ROWS, bq_dq), lambda bi, hi, qi: (bi, hi, 0, qi))
@@ -523,6 +702,25 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
     # dkv: whole-q chunked path — one cell per kv block, q pipelined in
     # cq-sized chunks (same VMEM shape as dq with q/kv roles swapped)
     cq = min(block_q, 512) if sq % min(block_q, 512) == 0 else block_q
+    if wide is not None:
+        hg, n_cq = wide
+        q_specw = pl.BlockSpec((1, hg, d, sq), lambda bi, hi: (bi, hi, 0, 0))
+        kv_specw = pl.BlockSpec((1, hg, d, skv), lambda bi, hi: (bi, hi, 0, 0))
+        stat_specw = pl.BlockSpec((1, hg, _STAT_ROWS, sq), lambda bi, hi: (bi, hi, 0, 0))
+        dk, dv = pl.pallas_call(
+            functools.partial(_bwd_dkv_wide_kernel, hg=hg, n_cq=n_cq, kv_len=kv_len),
+            grid=(b, h // hg),
+            in_specs=[q_specw, kv_specw, kv_specw, q_specw, stat_specw, stat_specw],
+            out_specs=(kv_specw, kv_specw),
+            out_shape=(
+                jax.ShapeDtypeStruct(kt.shape, kt.dtype),
+                jax.ShapeDtypeStruct(vt.shape, vt.dtype),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+        )(qt, kt, vt, dot, lse, di)
+        return dq, dk, dv
     if _chunked_feasible(d, cq, sq, block_k, qt.dtype.itemsize, bwd=True):
         q_spec3 = pl.BlockSpec((1, 1, d, sq), lambda bi, hi, ki: (bi, hi, 0, 0))
         kv_spec3 = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, ki: (bi, hi, 0, ki))

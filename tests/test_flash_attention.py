@@ -58,6 +58,35 @@ def test_flash_forward_and_grads(interpreted_flash, shape):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (1, 4, 1024, 77, 64),  # head-grouped (hg=4, one q chunk per head)
+        (1, 2, 2048, 77, 64),  # hg=2 × two q chunks, kv masking
+    ],
+)
+def test_flash_wide_small_kv(interpreted_flash, shape):
+    """Wide-row cross-attention kernels (one cell per (b, head-group)):
+    fwd + both bwd kernels vs the XLA oracle."""
+    from neurosis_tpu.ops.attention import _xla_attention
+
+    fa = interpreted_flash
+    b, h, sq, skv, d = shape
+    assert fa._wide_cfg(b, h, d, sq, 128) is not None  # the path under test
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, sq, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, skv, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, skv, d), jnp.float32)
+
+    ref = _xla_attention(q, k, v)
+    out = fa.flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6, rtol=1e-4)
+
+    g_ref = jax.grad(lambda *a: jnp.sum(_xla_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(lambda *a: jnp.sum(fa.flash_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
+
+
 def test_flash_onepass_table_mode(interpreted_flash):
     """Short-seq table mode (sq = skv ≤ 1024): the whole q and kv ranges are
     single blocks, so all three chunked kernels run with n_chunks == 1 (the

@@ -200,15 +200,18 @@ def _kernel_gn(x_hbm, a_ref, b_ref, w_ref, o_ref, acc_ref, xt_ref, sem, *, bh, w
     # padding is applied AFTER norm+act, so border zeros must stay zeros
     # (silu(b) otherwise). Channel padding needs no mask: padded a,b are 0 and
     # silu(0) = 0.
-    row = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, w_halo), 0) + hi * bh
-    col = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, w_halo), 1)
+    # full-3D iota masks: Mosaic cannot reshape/broadcast an i1 (bh+2, w_halo)
+    # mask up a minor dim ("Insertion of minor dim ... only for 32-bit types")
+    tile_shape = (bh + 2, w_halo, bc)
+    row = jax.lax.broadcasted_iota(jnp.int32, tile_shape, 0) + hi * bh
+    col = jax.lax.broadcasted_iota(jnp.int32, tile_shape, 1)
     valid = (row >= 1) & (row <= height) & (col >= 1) & (col <= width)
     pre = xt_ref[:].astype(jnp.float32) * a_ref[0, 0][None, None, :] + b_ref[0, 0][None, None, :]
     # silu in fp32 at the bf16-rounded point (Mosaic rejects bf16 logistic
     # lowering here; fp32 matches the unfused path to bf16 output rounding)
     act = pre.astype(xt_ref.dtype).astype(jnp.float32)
     act = act * jax.nn.sigmoid(act)
-    xt_ref[:] = jnp.where(valid[:, :, None], act, 0.0).astype(xt_ref.dtype)
+    xt_ref[:] = jnp.where(valid, act, 0.0).astype(xt_ref.dtype)
 
     for dy in range(3):
         for dx in range(3):

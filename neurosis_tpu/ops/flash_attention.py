@@ -80,6 +80,10 @@ _SPLIT_SHORT = os.environ.get("NEUROSIS_FLASH_SPLIT_SHORT", "1") != "0"
 # cross-attention calls are 4-10x per-cell fixed cost. NEUROSIS_FLASH_WIDE=0
 # restores the per-q-block grid.
 _WIDE = os.environ.get("NEUROSIS_FLASH_WIDE", "1") != "0"
+# Opt-in: extend the wide path to single-block SELF attention rows
+# (skv ≤ 1024, e.g. the 1024-token SDXL level-2) — head-grouped cells with
+# the whole kv row as ONE softmax chunk.
+_WIDE_SELF = os.environ.get("NEUROSIS_FLASH_WIDE_SELF", "0") != "0"
 
 
 def _pick_chunk(d: int, skv: int, block_k: int) -> int:
@@ -304,9 +308,11 @@ def _wide_cfg(b: int, h: int, d: int, sq: int, skv: int, bwd: bool = False):
     Targets ≥2 pipeline steps and ~4096 q positions per cell; VMEM per cell is
     hg whole-row q/o(/do/dq) operands + two in-flight (skv, cq) fp32 st tiles
     (+ dpt in bwd)."""
-    if not _WIDE or skv > 256 or sq < 512 or d > 160:
+    max_kv = 1024 if _WIDE_SELF else 256
+    if not _WIDE or skv > max_kv or sq < 512 or d > 160:
         return None
-    cq = min(1024, sq)
+    # bigger kv rows hold (skv, cq) fp32 st/dpt tiles — halve the q chunk
+    cq = min(1024 if skv <= 256 else 512, sq)
     if sq % cq:
         return None
     hg = 1

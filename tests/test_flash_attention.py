@@ -87,6 +87,28 @@ def test_flash_wide_small_kv(interpreted_flash, shape):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
 
 
+def test_flash_wide_self_optin(interpreted_flash, monkeypatch):
+    """NEUROSIS_FLASH_WIDE_SELF extends the wide path to single-block
+    self-attention rows (1024-token level-2)."""
+    from neurosis_tpu.ops.attention import _xla_attention
+
+    fa = interpreted_flash
+    monkeypatch.setattr(fa, "_WIDE_SELF", True)
+    b, h, s, d = 1, 4, 1024, 64
+    assert fa._wide_cfg(b, h, d, s, s, bwd=True) is not None
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), jnp.float32)
+
+    ref = _xla_attention(q, k, v)
+    out = fa.flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6, rtol=1e-4)
+    g_ref = jax.grad(lambda *a: jnp.sum(_xla_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(lambda *a: jnp.sum(fa.flash_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
+
+
 def test_flash_onepass_table_mode(interpreted_flash):
     """Short-seq table mode (sq = skv ≤ 1024): the whole q and kv ranges are
     single blocks, so all three chunked kernels run with n_chunks == 1 (the

@@ -110,7 +110,16 @@ class _GNAffineParams(nn.Module):
 def fused_gn_conv_enabled() -> bool:
     import os
 
-    return os.environ.get("NEUROSIS_FUSED_GN_CONV", "0").lower() in ("1", "true")
+    # default ON on TPU: step-level A/B (SDXL b2, with wide flash kernels)
+    # measured 2.3479 vs 2.334 steps/s; numerics land CLOSER to the fp32
+    # oracle than the unfused path (test_fused_gn_conv). Explicit
+    # NEUROSIS_FUSED_GN_CONV=0/1 overrides (tests opt in under the
+    # interpreter; CPU default stays off so interpret-mode env leakage can't
+    # drag whole parity suites through interpreted kernels).
+    val = os.environ.get("NEUROSIS_FUSED_GN_CONV", "").lower()
+    if val:
+        return val in ("1", "true")
+    return jax.default_backend() == "tpu"
 
 
 def nearest_upsample_2x(x: jax.Array) -> jax.Array:

@@ -27,6 +27,7 @@ from neurosis_tpu.modules.layers import (
     Downsample,
     GroupNorm32,
     Upsample,
+    gn_conv_fuse_ok,
     timestep_embedding,
 )
 
@@ -47,33 +48,17 @@ class ResBlock(nn.Module):
     skip_t_emb: bool = False
     dtype: Optional[Dtype] = None
 
-    def _fuse_ok(self, x: jax.Array, out_ch: int) -> bool:
-        """Gate for the fused GN+SiLU->conv path (NEUROSIS_FUSED_GN_CONV):
-        the Pallas kernel must actually take it — the unfused fallback is
-        perf-neutral churn."""
-        from neurosis_tpu.modules.layers import fused_gn_conv_enabled
-
-        if not fused_gn_conv_enabled():
-            return False
-        try:
-            from neurosis_tpu.ops.conv3x3 import (
-                gn_silu_conv3x3_available,
-                gn_silu_conv3x3_supported,
-            )
-
-            return gn_silu_conv3x3_available() and gn_silu_conv3x3_supported(
-                x.shape, (3, 3, x.shape[-1], out_ch), 1, 1, self.dtype or x.dtype
-            )
-        except Exception:  # pragma: no cover - dispatch probe only
-            return False
-
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.skip_t_emb and self.use_scale_shift_norm:
+            # reference openaimodel.py:266-269 raises the same
+            raise ValueError("skip_t_emb and use_scale_shift_norm are mutually exclusive")
         out_ch = self.out_channels or self.channels
+        _fuse_ok = lambda t: gn_conv_fuse_ok(t.shape, out_ch, self.dtype, t.dtype)
 
         gn_in = GroupNorm32(32, name="in_layers.0")
         conv_in = Conv2d(out_ch, 3, dtype=self.dtype, name="in_layers.2")
-        if not (self.up or self.down) and self._fuse_ok(x, out_ch):
+        if not (self.up or self.down) and _fuse_ok(x):
             h = conv_in(x, gn_affine=gn_in(x, fold=True))
         else:
             h = nn.silu(gn_in(x))
@@ -95,7 +80,7 @@ class ResBlock(nn.Module):
 
         gn_out = GroupNorm32(32, name="out_layers.0")
         conv_out = Conv2d(out_ch, 3, dtype=self.dtype, zero_init=True, name="out_layers.3")
-        fuse_out = (self.dropout == 0.0 or deterministic) and self._fuse_ok(h, out_ch)
+        fuse_out = (self.dropout == 0.0 or deterministic) and _fuse_ok(h)
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             if fuse_out:

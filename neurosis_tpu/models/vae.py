@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neurosis_tpu.modules.layers import Conv2d, GroupNorm32, nearest_upsample_2x
+from neurosis_tpu.modules.layers import Conv2d, GroupNorm32, gn_conv_fuse_ok, nearest_upsample_2x
 from neurosis_tpu.ops.attention import dot_product_attention
 
 Dtype = jnp.dtype
@@ -40,24 +40,6 @@ class ResnetBlock(nn.Module):
     temb_channels: int = 0
     dtype: Optional[Dtype] = None
 
-    def _fuse_ok(self, x: jax.Array, out_ch: int) -> bool:
-        """Fused GN+SiLU->conv gate (NEUROSIS_FUSED_GN_CONV; see unet.ResBlock)."""
-        from neurosis_tpu.modules.layers import fused_gn_conv_enabled
-
-        if not fused_gn_conv_enabled():
-            return False
-        try:
-            from neurosis_tpu.ops.conv3x3 import (
-                gn_silu_conv3x3_available,
-                gn_silu_conv3x3_supported,
-            )
-
-            return gn_silu_conv3x3_available() and gn_silu_conv3x3_supported(
-                x.shape, (3, 3, x.shape[-1], out_ch), 1, 1, self.dtype or x.dtype
-            )
-        except Exception:  # pragma: no cover - dispatch probe only
-            return False
-
     @nn.compact
     def __call__(
         self,
@@ -66,9 +48,10 @@ class ResnetBlock(nn.Module):
         temb: Optional[jax.Array] = None,
     ) -> jax.Array:
         out_ch = self.out_channels or self.in_channels
+        _fuse_ok = lambda t: gn_conv_fuse_ok(t.shape, out_ch, self.dtype, t.dtype)
         gn1 = GroupNorm32(32, epsilon=1e-6, name="norm1")
         conv1 = Conv2d(out_ch, 3, dtype=self.dtype, name="conv1")
-        if self._fuse_ok(x, out_ch):
+        if _fuse_ok(x):
             h = conv1(x, gn_affine=gn1(x, fold=True))
         else:
             h = conv1(nn.silu(gn1(x)))
@@ -78,7 +61,7 @@ class ResnetBlock(nn.Module):
             h = h + e[:, None, None, :].astype(h.dtype)
         gn2 = GroupNorm32(32, epsilon=1e-6, name="norm2")
         conv2 = Conv2d(out_ch, 3, dtype=self.dtype, name="conv2")
-        if (self.dropout == 0.0 or deterministic) and self._fuse_ok(h, out_ch):
+        if (self.dropout == 0.0 or deterministic) and _fuse_ok(h):
             h = conv2(h, gn_affine=gn2(h, fold=True))
         else:
             h = nn.silu(gn2(h))

@@ -107,6 +107,36 @@ class _GNAffineParams(nn.Module):
         return scale, bias
 
 
+def conv_compute_dtype(module_dtype, x_dtype):
+    """The dtype _RawConv actually computes in: dtype=None promotes the input
+    with the fp32 params (nn.Conv promote_dtype semantics) — gates that check
+    the raw x dtype would wrongly admit bf16 inputs to an fp32 compute."""
+    return module_dtype or jnp.promote_types(x_dtype, jnp.float32)
+
+
+def gn_conv_fuse_ok(x_shape, out_ch: int, module_dtype, x_dtype) -> bool:
+    """Shared gate for the fused GN+SiLU->conv path (UNet ResBlock + VAE
+    ResnetBlock): enabled, runnable (TPU/interpreter), and the Pallas kernel
+    actually takes it — the unfused fallback is perf-neutral churn."""
+    if not fused_gn_conv_enabled():
+        return False
+    try:
+        from neurosis_tpu.ops.conv3x3 import (
+            gn_silu_conv3x3_available,
+            gn_silu_conv3x3_supported,
+        )
+
+        return gn_silu_conv3x3_available() and gn_silu_conv3x3_supported(
+            x_shape,
+            (3, 3, x_shape[-1], out_ch),
+            1,
+            1,
+            conv_compute_dtype(module_dtype, x_dtype),
+        )
+    except Exception:  # pragma: no cover - dispatch probe only
+        return False
+
+
 def fused_gn_conv_enabled() -> bool:
     import os
 
@@ -230,7 +260,7 @@ class Conv2d(nn.Module):
                     gn_silu_conv3x3_supported,
                 )
 
-                dtype = self.dtype or x.dtype
+                dtype = conv_compute_dtype(self.dtype, x.dtype)
                 wshape = (self.kernel_size, self.kernel_size, x.shape[-1], self.features)
                 if gn_affine is not None:
                     use_pallas = gn_silu_conv3x3_available() and gn_silu_conv3x3_supported(

@@ -281,12 +281,19 @@ def _gn_conv_fwd(x: jax.Array, a: jax.Array, b: jax.Array, w: jax.Array) -> jax.
     return out[..., :feat] if f_pad != feat else out
 
 
+def _silu_at_rounded(pre: jax.Array, out_dtype) -> jax.Array:
+    """fp32 SiLU evaluated at the out_dtype-rounded point — the exact op
+    order the fused kernel uses (normalize fp32 → round → fp32 silu → round),
+    shared by the XLA fallback and the bwd wgrad recompute so all three paths
+    produce the same activation."""
+    act = pre.astype(out_dtype).astype(jnp.float32)
+    return (act * jax.nn.sigmoid(act)).astype(out_dtype)
+
+
 def gn_silu_affine(x: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
-    """Unfused normalize+activate (fallback + parity oracle): fp32 affine,
-    cast to x.dtype, SiLU — the exact op order the kernel fuses."""
+    """Unfused normalize+activate (fallback + parity oracle)."""
     pre = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
-    act = pre.astype(x.dtype)
-    return act * jax.nn.sigmoid(act)
+    return _silu_at_rounded(pre, x.dtype)
 
 
 @jax.custom_vjp
@@ -306,7 +313,7 @@ def _gn_vjp_bwd(res, dy):
     # recompute the activation chain from x (elementwise; XLA fuses it into
     # the surrounding passes — the fwd saved the write+read this costs)
     pre = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
-    y_act = gn_silu_affine(x, a, b)
+    y_act = _silu_at_rounded(pre, x.dtype)
 
     # dgrad: same dispatch as conv3x3's bwd
     w_flip = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)

@@ -80,10 +80,10 @@ _SPLIT_SHORT = os.environ.get("NEUROSIS_FLASH_SPLIT_SHORT", "1") != "0"
 # cross-attention calls are 4-10x per-cell fixed cost. NEUROSIS_FLASH_WIDE=0
 # restores the per-q-block grid.
 _WIDE = os.environ.get("NEUROSIS_FLASH_WIDE", "1") != "0"
-# Opt-in: extend the wide path to single-block SELF attention rows
-# (skv ≤ 1024, e.g. the 1024-token SDXL level-2) — head-grouped cells with
-# the whole kv row as ONE softmax chunk.
-_WIDE_SELF = os.environ.get("NEUROSIS_FLASH_WIDE_SELF", "0") != "0"
+# Wide path for single-block SELF attention rows (skv ≤ 1024, e.g. the
+# 1024-token SDXL level-2) — head-grouped cells with the whole kv row as ONE
+# softmax chunk. Default ON: step-level A/B 2.3684 vs 2.360 steps/s (SDXL b2).
+_WIDE_SELF = os.environ.get("NEUROSIS_FLASH_WIDE_SELF", "1") != "0"
 
 
 def _pick_chunk(d: int, skv: int, block_k: int) -> int:
@@ -309,25 +309,27 @@ def _wide_cfg(b: int, h: int, d: int, sq: int, skv: int, bwd: bool = False):
     hg whole-row q/o(/do/dq) operands + two in-flight (skv, cq) fp32 st tiles
     (+ dpt in bwd)."""
     max_kv = 1024 if _WIDE_SELF else 256
-    if not _WIDE or skv > max_kv or sq < 512 or d > 160:
+    if not _WIDE or not _CHUNKED or skv > max_kv or sq < 512 or d > 160:
         return None
     # bigger kv rows hold (skv, cq) fp32 st/dpt tiles — halve the q chunk
     cq = min(1024 if skv <= 256 else 512, sq)
     if sq % cq:
         return None
-    hg = 1
-    for cand in (8, 4, 2):
-        if h % cand == 0 and cand * sq <= 8192:
-            hg = cand
-            break
     n_cq = sq // cq
-    if hg * n_cq < 2:
-        return None
-    per_head = d * sq * (2 + 2 + (4 if bwd else 0))  # q + o (+ do/dq bf16 ≈ 4B)
-    stats = (2 if bwd else 1) * _STAT_ROWS * sq * 4
     tiles = (3 if bwd else 2) * skv * cq * 4 + skv * cq * 2
-    use = hg * (per_head + stats + 2 * d * skv * 2) + tiles
-    return (hg, n_cq) if use <= _CHUNK_VMEM_BUDGET else None
+    per_head = d * sq * (2 + 2 + (4 if bwd else 0))  # q + o (+ do/dq bf16 ≈ 4B)
+    per_head += (2 if bwd else 1) * _STAT_ROWS * sq * 4  # fp32 lse (+ di)
+    per_head += 2 * d * skv * 2  # k + v
+    # largest head group that meets the work cap AND the VMEM budget (retry
+    # smaller groups rather than falling back to the per-q-block grid)
+    for hg in (8, 4, 2, 1):
+        if h % hg or hg * sq > 8192:
+            continue
+        if hg * n_cq < 2:
+            continue
+        if hg * per_head + tiles <= _CHUNK_VMEM_BUDGET:
+            return hg, n_cq
+    return None
 
 
 def _fwd(qt, kt, vt, *, block_q, block_k, kv_len):
@@ -651,27 +653,42 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
     # dq: q blocks halved for the chunked whole-kv path — it keeps two fp32
     # st tiles AND a dpt tile live per chunk, so bq=512 is the VMEM sweet
     # spot (the extra (BK, BQ) dpt tile is what the fwd kernel doesn't have)
-    bq_dq = min(block_q, 512) if sq % min(block_q, 512) == 0 else block_q
-    chunk = _pick_chunk(d, skv, block_k)
     wide = _wide_cfg(b, h, d, sq, skv, bwd=True)
     if wide is not None:
+        # both wide bwd kernels share the cell layout: (b, head-group) grid,
+        # whole-row blocks
         hg, n_cq = wide
         q_specw = pl.BlockSpec((1, hg, d, sq), lambda bi, hi: (bi, hi, 0, 0))
         kv_specw = pl.BlockSpec((1, hg, d, skv), lambda bi, hi: (bi, hi, 0, 0))
         stat_specw = pl.BlockSpec((1, hg, _STAT_ROWS, sq), lambda bi, hi: (bi, hi, 0, 0))
+        in_specsw = [q_specw, kv_specw, kv_specw, q_specw, stat_specw, stat_specw]
+        paramsw = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"))
         dq = pl.pallas_call(
             functools.partial(
                 _bwd_dq_wide_kernel, hg=hg, n_cq=n_cq, scale=scale, kv_len=kv_len
             ),
             grid=(b, h // hg),
-            in_specs=[q_specw, kv_specw, kv_specw, q_specw, stat_specw, stat_specw],
+            in_specs=in_specsw,
             out_specs=q_specw,
             out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel"),
-            ),
+            compiler_params=paramsw,
         )(qt, kt, vt, dot, lse, di)
-    elif _chunked_feasible(d, bq_dq, skv, chunk, qt.dtype.itemsize, bwd=True):
+        dk, dv = pl.pallas_call(
+            functools.partial(_bwd_dkv_wide_kernel, hg=hg, n_cq=n_cq, kv_len=kv_len),
+            grid=(b, h // hg),
+            in_specs=in_specsw,
+            out_specs=(kv_specw, kv_specw),
+            out_shape=(
+                jax.ShapeDtypeStruct(kt.shape, kt.dtype),
+                jax.ShapeDtypeStruct(vt.shape, vt.dtype),
+            ),
+            compiler_params=paramsw,
+        )(qt, kt, vt, dot, lse, di)
+        return dq, dk, dv
+
+    bq_dq = min(block_q, 512) if sq % min(block_q, 512) == 0 else block_q
+    chunk = _pick_chunk(d, skv, block_k)
+    if _chunked_feasible(d, bq_dq, skv, chunk, qt.dtype.itemsize, bwd=True):
         q_spec1 = pl.BlockSpec((1, 1, d, bq_dq), lambda bi, hi, qi: (bi, hi, 0, qi))
         kv_spec1 = pl.BlockSpec((1, 1, d, skv), lambda bi, hi, qi: (bi, hi, 0, 0))
         stat_spec1 = pl.BlockSpec((1, 1, _STAT_ROWS, bq_dq), lambda bi, hi, qi: (bi, hi, 0, qi))
@@ -708,25 +725,6 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
     # dkv: whole-q chunked path — one cell per kv block, q pipelined in
     # cq-sized chunks (same VMEM shape as dq with q/kv roles swapped)
     cq = min(block_q, 512) if sq % min(block_q, 512) == 0 else block_q
-    if wide is not None:
-        hg, n_cq = wide
-        q_specw = pl.BlockSpec((1, hg, d, sq), lambda bi, hi: (bi, hi, 0, 0))
-        kv_specw = pl.BlockSpec((1, hg, d, skv), lambda bi, hi: (bi, hi, 0, 0))
-        stat_specw = pl.BlockSpec((1, hg, _STAT_ROWS, sq), lambda bi, hi: (bi, hi, 0, 0))
-        dk, dv = pl.pallas_call(
-            functools.partial(_bwd_dkv_wide_kernel, hg=hg, n_cq=n_cq, kv_len=kv_len),
-            grid=(b, h // hg),
-            in_specs=[q_specw, kv_specw, kv_specw, q_specw, stat_specw, stat_specw],
-            out_specs=(kv_specw, kv_specw),
-            out_shape=(
-                jax.ShapeDtypeStruct(kt.shape, kt.dtype),
-                jax.ShapeDtypeStruct(vt.shape, vt.dtype),
-            ),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel"),
-            ),
-        )(qt, kt, vt, dot, lse, di)
-        return dq, dk, dv
     if _chunked_feasible(d, cq, sq, block_k, qt.dtype.itemsize, bwd=True):
         q_spec3 = pl.BlockSpec((1, 1, d, sq), lambda bi, hi, ki: (bi, hi, 0, 0))
         kv_spec3 = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, ki: (bi, hi, 0, ki))

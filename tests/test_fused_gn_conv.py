@@ -195,6 +195,24 @@ def test_vae_resnetblock_fused_matches_unfused(monkeypatch):
     assert _rel_err(got, want) < 1.5e-2
 
 
+def test_fused_gate_defaults(monkeypatch):
+    """Default fused-GN gating: backend-driven (off on CPU so interpret-mode
+    env leakage can't drag parity suites through interpreted kernels), env
+    override wins; dtype gate uses the PROMOTED compute dtype."""
+    from neurosis_tpu.modules.layers import conv_compute_dtype, fused_gn_conv_enabled, gn_conv_fuse_ok
+
+    monkeypatch.delenv("NEUROSIS_FUSED_GN_CONV", raising=False)
+    assert fused_gn_conv_enabled() == (jax.default_backend() == "tpu")
+    monkeypatch.setenv("NEUROSIS_FUSED_GN_CONV", "0")
+    assert not fused_gn_conv_enabled()
+    monkeypatch.setenv("NEUROSIS_FUSED_GN_CONV", "1")
+    assert fused_gn_conv_enabled()
+    # dtype=None + bf16 input promotes to fp32 -> must NOT pass the bf16 gate
+    assert conv_compute_dtype(None, jnp.bfloat16) == jnp.float32
+    assert not gn_conv_fuse_ok((1, 64, 64, 640), 640, None, jnp.bfloat16)
+    assert gn_conv_fuse_ok((1, 64, 64, 640), 640, jnp.bfloat16, jnp.bfloat16)
+
+
 def test_gn_silu_conv3x3_supported_gate():
     from neurosis_tpu.ops.conv3x3 import gn_silu_conv3x3_supported
 

@@ -418,14 +418,21 @@ def conv3x3_supported(x_shape, w_shape, stride, padding, dtype) -> bool:
     """Gate for layers.Conv2d: 3x3, stride 1, pad 1, bf16, MXU-worthy dims.
 
     Channels must be lane-aligned (128-multiples): the A/B shows the padded
-    320-channel level loses ~7% to XLA, so it stays on the XLA emitter."""
+    320-channel level loses ~7% to XLA, so it stays on the XLA emitter.
+
+    Spatial extent is capped at the MEASURED win range (h·w ≤ 4096: the
+    64²/32² UNet levels from tools/conv_bench.py). Above it the kernel LOSES
+    big: the SDXL-VAE 1024px encode regressed 307 → 156 imgs/s when the
+    kernel ran at 1024²-512² spatial — the explicit halo re-pad of multi-GB
+    activations and the single-C-block accumulator shape don't amortize
+    there; XLA's emitter keeps those levels."""
     if tuple(w_shape[:2]) != (3, 3) or stride != 1 or padding != 1:
         return False
     if dtype not in (jnp.bfloat16,):
         return False
     _b, h, width, c = x_shape
     feat = w_shape[3]
-    if c < 128 or feat < 128 or (h * width) < 1024:
+    if c < 128 or feat < 128 or not (1024 <= h * width <= 4096):
         return False
     if c % 128 or feat % 128:
         return False

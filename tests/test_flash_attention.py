@@ -109,6 +109,21 @@ def test_flash_wide_self_optin(interpreted_flash, monkeypatch):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
 
 
+def test_wide_cfg_hg_retry(monkeypatch):
+    """_wide_cfg retries smaller head groups when the largest one busts the
+    VMEM budget (d=160 self-attn bwd: hg=8 needs ~23 MB) instead of
+    abandoning the wide path."""
+    import neurosis_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "_WIDE_SELF", True)
+    cfg = fa._wide_cfg(2, 8, 160, 1024, 1024, bwd=True)
+    assert cfg is not None
+    hg, n_cq = cfg
+    assert hg < 8  # the 8-group config does not fit
+    # the cheaper d=64 row keeps the full 8-head group under the same budget
+    assert fa._wide_cfg(2, 8, 64, 1024, 1024, bwd=True) == (8, 2)
+
+
 def test_flash_onepass_table_mode(interpreted_flash):
     """Short-seq table mode (sq = skv ≤ 1024): the whole q and kv ranges are
     single blocks, so all three chunked kernels run with n_chunks == 1 (the

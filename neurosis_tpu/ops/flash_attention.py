@@ -640,18 +640,6 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd_cost(b, h, sq, skv, d, matmuls):
-    """CostEstimate for a backward kernel: `matmuls` logit-sized passes
-    (dq: st+dpt+dq = 3, dkv: st+dpt+dv+dk = 4) + one exp2 pass. Without
-    these, XLA cost_analysis undercounts executed flops (custom calls
-    contribute only what their estimate declares)."""
-    return pl.CostEstimate(
-        flops=2 * matmuls * b * h * sq * skv * d,
-        bytes_accessed=2 * (2 * b * h * sq * d + 2 * b * h * skv * d),
-        transcendentals=b * h * sq * skv,
-    )
-
-
 def _bwd(scale, block_q, block_k, kv_len, res, do):
     qt, kt, vt, ot, lse = res
     b, h, d, sq = qt.shape
@@ -684,7 +672,6 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
             out_specs=q_specw,
             out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
             compiler_params=paramsw,
-            cost_estimate=_bwd_cost(b, h, sq, skv, d, 3),
         )(qt, kt, vt, dot, lse, di)
         dk, dv = pl.pallas_call(
             functools.partial(_bwd_dkv_wide_kernel, hg=hg, n_cq=n_cq, kv_len=kv_len),
@@ -696,7 +683,6 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
                 jax.ShapeDtypeStruct(vt.shape, vt.dtype),
             ),
             compiler_params=paramsw,
-            cost_estimate=_bwd_cost(b, h, sq, skv, d, 4),
         )(qt, kt, vt, dot, lse, di)
         return dq, dk, dv
 
@@ -717,7 +703,6 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel"),
             ),
-            cost_estimate=_bwd_cost(b, h, sq, skv, d, 3),
         )(qt, kt, vt, dot, lse, di)
     else:
         q_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi))
@@ -735,7 +720,6 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             ),
-            cost_estimate=_bwd_cost(b, h, sq, skv, d, 3),
         )(qt, kt, vt, dot, lse, di)
 
     # dkv: whole-q chunked path — one cell per kv block, q pipelined in
@@ -757,7 +741,6 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel"),
             ),
-            cost_estimate=_bwd_cost(b, h, sq, skv, d, 4),
         )(qt, kt, vt, dot, lse, di)
         return dq, dk, dv
 
@@ -780,7 +763,6 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
-        cost_estimate=_bwd_cost(b, h, sq, skv, d, 4),
     )(qt, kt, vt, dot, lse, di)
     return dq, dk, dv
 

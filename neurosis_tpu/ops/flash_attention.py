@@ -641,6 +641,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
 
 
 def _bwd(scale, block_q, block_k, kv_len, res, do):
+    # NOTE (measured, r3): do NOT declare CostEstimates on these backward
+    # kernels. They feed XLA's latency-hiding scheduler, and honest estimates
+    # (dq=3, dkv=4 logit-sized matmul passes) cost a REPRODUCIBLE -1.2%
+    # step time on the SDXL b2 step (2.3755 -> 2.3451/2.3466 steps/s across
+    # three runs). The price is that cost_analysis() undercounts executed
+    # attention-bwd flops (documented in BASELINE.md) — accounting is not
+    # worth real wall-clock.
     qt, kt, vt, ot, lse = res
     b, h, d, sq = qt.shape
     skv = kt.shape[3]

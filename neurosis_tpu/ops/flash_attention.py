@@ -320,6 +320,11 @@ def _wide_cfg(b: int, h: int, d: int, sq: int, skv: int, bwd: bool = False):
     per_head = d * sq * (2 + 2 + (4 if bwd else 0))  # q + o (+ do/dq bf16 ≈ 4B)
     per_head += (2 if bwd else 1) * _STAT_ROWS * sq * 4  # fp32 lse (+ di)
     per_head += 2 * d * skv * 2  # k + v
+    # Mosaic's stack allocator reuses unrolled temporaries imperfectly: the
+    # measured bwd footprint at (hg=4, d=160, skv=1024, cq=512) was 19.83 MB
+    # vs this model's 15.4 — calibrate bwd by that 1.3x overrun (the estimate
+    # sat 0.5% under budget and OOM'd the SD1.5-b8 compile)
+    use_scale = 1.3 if bwd else 1.0
     # largest head group that meets the work cap AND the VMEM budget (retry
     # smaller groups rather than falling back to the per-q-block grid)
     for hg in (8, 4, 2, 1):
@@ -327,7 +332,7 @@ def _wide_cfg(b: int, h: int, d: int, sq: int, skv: int, bwd: bool = False):
             continue
         if hg * n_cq < 2:
             continue
-        if hg * per_head + tiles <= _CHUNK_VMEM_BUDGET:
+        if (hg * per_head + tiles) * use_scale <= _CHUNK_VMEM_BUDGET:
             return hg, n_cq
     return None
 

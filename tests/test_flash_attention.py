@@ -116,12 +116,14 @@ def test_wide_cfg_hg_retry(monkeypatch):
     import neurosis_tpu.ops.flash_attention as fa
 
     monkeypatch.setattr(fa, "_WIDE_SELF", True)
-    cfg = fa._wide_cfg(2, 8, 160, 1024, 1024, bwd=True)
-    assert cfg is not None
-    hg, n_cq = cfg
-    assert hg < 8  # the 8-group config does not fit
-    # the cheaper d=64 row keeps the full 8-head group under the same budget
-    assert fa._wide_cfg(2, 8, 64, 1024, 1024, bwd=True) == (8, 2)
+    # d=160 bwd: hg=4 modeled at 15.4 MB but MEASURED 19.83 MB (Mosaic stack
+    # reuse; OOM'd the SD1.5-b8 compile) — the 1.3x-calibrated model must
+    # retry down to hg=2
+    assert fa._wide_cfg(2, 8, 160, 1024, 1024, bwd=True) == (2, 2)
+    # the cheaper d=64 row keeps a 4-head group under the same budget
+    # (matches the SDXL level-2 config that compiles and runs on-chip)
+    assert fa._wide_cfg(2, 8, 64, 1024, 1024, bwd=True) == (4, 2)
+    assert fa._wide_cfg(2, 20, 64, 1024, 1024, bwd=True) == (4, 2)
 
 
 def test_flash_onepass_table_mode(interpreted_flash):

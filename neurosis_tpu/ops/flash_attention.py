@@ -645,14 +645,27 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+# Honest-accounting mode: declare CostEstimates on the backward kernels so
+# XLA cost_analysis counts the attention bwd flops (it otherwise counts
+# custom calls at 0). OFF by default — the estimates also feed XLA's
+# latency-hiding scheduler; the interleaved same-window A/B is recorded in
+# BASELINE.md. Enable for accounting runs with NEUROSIS_FLASH_COST_EST=1.
+_COST_EST = os.environ.get("NEUROSIS_FLASH_COST_EST", "0") != "0"
+
+
+def _bwd_cost(b, h, sq, skv, d, matmuls):
+    """CostEstimate for a backward kernel: `matmuls` logit-sized passes
+    (dq: st+dpt+dq = 3, dkv: st+dpt+dv+dk = 4) + one exp2 pass."""
+    if not _COST_EST:
+        return None
+    return pl.CostEstimate(
+        flops=2 * matmuls * b * h * sq * skv * d,
+        bytes_accessed=2 * (2 * b * h * sq * d + 2 * b * h * skv * d),
+        transcendentals=b * h * sq * skv,
+    )
+
+
 def _bwd(scale, block_q, block_k, kv_len, res, do):
-    # NOTE (measured, r3): do NOT declare CostEstimates on these backward
-    # kernels. They feed XLA's latency-hiding scheduler, and honest estimates
-    # (dq=3, dkv=4 logit-sized matmul passes) cost a REPRODUCIBLE -1.2%
-    # step time on the SDXL b2 step (2.3755 -> 2.3451/2.3466 steps/s across
-    # three runs). The price is that cost_analysis() undercounts executed
-    # attention-bwd flops (documented in BASELINE.md) — accounting is not
-    # worth real wall-clock.
     qt, kt, vt, ot, lse = res
     b, h, d, sq = qt.shape
     skv = kt.shape[3]
@@ -684,6 +697,7 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
             out_specs=q_specw,
             out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
             compiler_params=paramsw,
+            cost_estimate=_bwd_cost(b, h, sq, skv, d, 3),
         )(qt, kt, vt, dot, lse, di)
         dk, dv = pl.pallas_call(
             functools.partial(_bwd_dkv_wide_kernel, hg=hg, n_cq=n_cq, kv_len=kv_len),
@@ -695,6 +709,7 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
                 jax.ShapeDtypeStruct(vt.shape, vt.dtype),
             ),
             compiler_params=paramsw,
+            cost_estimate=_bwd_cost(b, h, sq, skv, d, 4),
         )(qt, kt, vt, dot, lse, di)
         return dq, dk, dv
 
@@ -715,6 +730,7 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel"),
             ),
+            cost_estimate=_bwd_cost(b, h, sq, skv, d, 3),
         )(qt, kt, vt, dot, lse, di)
     else:
         q_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi))
@@ -732,6 +748,7 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             ),
+            cost_estimate=_bwd_cost(b, h, sq, skv, d, 3),
         )(qt, kt, vt, dot, lse, di)
 
     # dkv: whole-q chunked path — one cell per kv block, q pipelined in
@@ -753,6 +770,7 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel"),
             ),
+            cost_estimate=_bwd_cost(b, h, sq, skv, d, 4),
         )(qt, kt, vt, dot, lse, di)
         return dq, dk, dv
 
@@ -775,6 +793,7 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
+        cost_estimate=_bwd_cost(b, h, sq, skv, d, 4),
     )(qt, kt, vt, dot, lse, di)
     return dq, dk, dv
 

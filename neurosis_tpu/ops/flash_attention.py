@@ -645,12 +645,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-# Honest-accounting mode: declare CostEstimates on the backward kernels so
-# XLA cost_analysis counts the attention bwd flops (it otherwise counts
-# custom calls at 0). OFF by default — the estimates also feed XLA's
-# latency-hiding scheduler; the interleaved same-window A/B is recorded in
-# BASELINE.md. Enable for accounting runs with NEUROSIS_FLASH_COST_EST=1.
-_COST_EST = os.environ.get("NEUROSIS_FLASH_COST_EST", "0") != "0"
+# Declare CostEstimates on the backward kernels so XLA cost_analysis counts
+# the attention bwd flops (it otherwise counts custom calls at 0). The
+# estimates also feed XLA's latency-hiding scheduler — an interleaved
+# same-window A/B measured them SPEED-NEUTRAL (cost 2.3424/2.3455 vs plain
+# 2.3435/2.3420 steps/s on the SDXL b2 step; an earlier apparent -1.2% was
+# chip-state drift between measurement windows). NEUROSIS_FLASH_COST_EST=0
+# removes them.
+_COST_EST = os.environ.get("NEUROSIS_FLASH_COST_EST", "1") != "0"
 
 
 def _bwd_cost(b, h, sq, skv, d, matmuls):

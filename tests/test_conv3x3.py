@@ -45,6 +45,20 @@ def test_conv3x3_supported_gate():
     assert not conv3x3_supported((1, 64, 64, 320), (3, 3, 320, 320), 1, 1, jnp.bfloat16)
 
 
+def test_conv3x3_spatial_win_range_gate():
+    """The Pallas conv must stay OFF above its measured win range: enabling
+    it at VAE-encode scales regressed SDXL-VAE 1024px encode 307 → 156
+    imgs/s (BASELINE round-3; knob attribution in NOTES)."""
+    from neurosis_tpu.ops.conv3x3 import conv3x3_supported
+
+    # UNet train shapes (measured wins) stay on
+    assert conv3x3_supported((2, 64, 64, 640), (3, 3, 640, 640), 1, 1, jnp.bfloat16)
+    assert conv3x3_supported((2, 32, 32, 1280), (3, 3, 1280, 1280), 1, 1, jnp.bfloat16)
+    # VAE-encode spatial scales stay off
+    for h in (1024, 512, 256, 128):
+        assert not conv3x3_supported((8, h, h, 128), (3, 3, 128, 128), 1, 1, jnp.bfloat16), h
+
+
 def test_conv2d_param_tree_stable():
     """The _RawConv refactor must keep the nn.Conv param layout
     (Conv_0/{kernel,bias}) so round-2 checkpoints and torch import remap

@@ -14,7 +14,13 @@ tuned for (unlike causal-LM flash kernels):
     waste half the MXU;
   - Sq/Skv from aspect buckets: q tail padded+sliced, kv tail masked in-softmax.
 
-Two kernel families share the math:
+Three kernel families share the math:
+  - WIDE-ROW kernels for single-softmax-chunk rows (cross-attention skv ≤ 256
+    and, with _WIDE_SELF, single-block self-attention skv ≤ 1024): one grid
+    cell owns hg heads × the WHOLE q range, iterated as (head, q-chunk) steps
+    with the next step's st matmul issued before this step's VPU work. These
+    rows were 4-10x per-cell fixed cost on the per-q-block grid (r3c profile:
+    cross-attention 8.3 → 4.9 ms/step of the SDXL step).
   - CHUNKED whole-row kernels (default wherever VMEM allows): one grid cell
     owns the full kv row (or q range for dkv) split into chunks, with chunk
     i+1's st matmul issued BEFORE chunk i's VPU softmax work — TPU matmuls

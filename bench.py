@@ -306,6 +306,9 @@ def sample_bench() -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     batch, res, steps = (1, 128, 30) if on_tpu else (1, 16, 4)
+    # batch > 1 = THROUGHPUT serving (imgs/min scales ~2x at b4; b1 is the
+    # latency number quoted in BASELINE)
+    batch = int(os.environ.get("NEUROSIS_BENCH_BATCH", batch))
     mc, ctx_dim, adm = (320, 2048, 2816) if on_tpu else (32, 64, 128)
     model = UNetModel(
         **{**SDXL_UNET_KW, "model_channels": mc, "context_dim": ctx_dim,
@@ -472,6 +475,7 @@ def vae_encode_bench() -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     batch, res = (8, 1024) if on_tpu else (1, 64)
+    batch = int(os.environ.get("NEUROSIS_BENCH_BATCH", batch))
     dd = dict(double_z=True, z_channels=4, resolution=res, in_channels=3, out_ch=3,
               ch=128 if on_tpu else 32, ch_mult=[1, 2, 4, 4] if on_tpu else [1, 2],
               num_res_blocks=2 if on_tpu else 1, attn_resolutions=[], dropout=0.0)

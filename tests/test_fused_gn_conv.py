@@ -195,6 +195,18 @@ def test_vae_resnetblock_fused_matches_unfused(monkeypatch):
     assert _rel_err(got, want) < 1.5e-2
 
 
+def test_resblock_skip_temb_scale_shift_exclusive():
+    """skip_t_emb + use_scale_shift_norm raises like the reference
+    (openaimodel.py:266-269) instead of folding mismatched affine halves."""
+    from neurosis_tpu.models.unet import ResBlock
+
+    blk = ResBlock(channels=32, emb_channels=8, skip_t_emb=True, use_scale_shift_norm=True)
+    x = jnp.zeros((1, 8, 8, 32))
+    emb = jnp.zeros((1, 8))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        blk.init(jax.random.PRNGKey(0), x, emb)
+
+
 def test_fused_gate_defaults(monkeypatch):
     """Default fused-GN gating: backend-driven (off on CPU so interpret-mode
     env leakage can't drag parity suites through interpreted kernels), env

@@ -72,7 +72,9 @@ def _pick_blocks(d_pad: int) -> tuple:
 
 # Chunked whole-row kernels (issue-first MXU/VPU pipelining) are used when
 # the working set fits VMEM; set NEUROSIS_FLASH_CHUNKED=0 to force the
-# two-pass grid kernels everywhere (A/B escape hatch).
+# two-pass grid kernels everywhere (A/B escape hatch). The knob gates KERNEL
+# DISPATCH only — block-size resolution keeps the round-2 short-seq whole-q
+# bump (sq ≤ 1024) so CHUNKED=0 reproduces the round-2 baseline config.
 _CHUNKED = os.environ.get("NEUROSIS_FLASH_CHUNKED", "1") != "0"
 _CHUNK_VMEM_BUDGET = 15_500_000  # bytes; scoped VMEM limit is 16 MiB
 # Split single-chunk rows (skv == block_k, e.g. the 1024-token SDXL level-2
@@ -99,7 +101,13 @@ def _pick_chunk(d: int, skv: int, block_k: int) -> int:
 
 
 def _chunked_feasible(
-    d: int, bq: int, s_whole: int, chunk: int, itemsize: int, bwd: bool = False
+    d: int,
+    bq: int,
+    s_whole: int,
+    chunk: int,
+    itemsize: int,
+    bwd: bool = False,
+    grid_cells: int = 1,
 ) -> bool:
     """Empirical VMEM estimate for a whole-row chunked kernel cell: one live
     fp32 (chunk, bq) st tile + one fp32+bf16 pt tile + the whole-kv (or
@@ -109,9 +117,14 @@ def _chunked_feasible(
     the do/d-output tiles. Calibrated against the measured boundary
     (tools/overlap_bench.py + tools/chunked_ab.py: chunk=1024/bq=1024/
     skv=4096/d=64 compiles and is the fastest config; bq=2048 variants and
-    S=16384·bq=512 OOM the 16 MiB scoped VMEM)."""
-    if not _CHUNKED:
-        return False
+    S=16384·bq=512 OOM the 16 MiB scoped VMEM).
+
+    `grid_cells` is the TOTAL grid size of the would-be kernel: Mosaic's
+    scoped-VMEM use grows with it (measured: the same fwd config modeled at
+    11.6 MB compiled at training grids ≤160 cells but allocated 16.86 MB —
+    1.45x — at the sample-b4 CFG grid (8,10,4)=320 cells). Large grids get
+    the measured 1.45x margin so infeasible configs FALL BACK to the two-pass
+    kernels instead of dying in the compiler."""
     # cumulative cap: TOTAL fp32 st footprint (4·s_whole·bq over all chunks)
     # must stay under ~20 MB — 16.8 MB compiles, 29-33 MB OOMs
     if 4 * s_whole * bq > 20_000_000:
@@ -124,6 +137,8 @@ def _chunked_feasible(
     if bwd:
         use += (4 + itemsize) * chunk * bq  # dpt fp32 + dst bf16
         use += 2 * d * bq * itemsize  # do tile + d-output tile
+    if grid_cells > 160:
+        use = int(use * 1.45)
     return use <= _CHUNK_VMEM_BUDGET
 
 
@@ -143,12 +158,18 @@ def _resolve_blocks(d_pad: int, sq: int, skv: int, block_q: int, block_k: int,
     block_k = block_k or tk
     sq_aligned = _round_up(sq, 128)
     if from_table and d_pad <= 160:
-        bq_big = min(1024, sq_aligned)
-        if bq_big > block_q and _chunked_feasible(
-            d_pad, bq_big, _round_up(skv, min(block_k, _round_up(skv, 128))),
-            min(block_k, _round_up(skv, 128)), itemsize,
-        ):
-            block_q = bq_big
+        # largest q block ≤ 1024 that DIVIDES the padded length — a
+        # non-divisor bump (e.g. 1024 at sq_aligned=2560) would pad ~20%
+        # dead q rows for aspect-bucket shapes
+        bq_big = max(c for c in range(128, 1025, 128) if sq_aligned % c == 0)
+        if bq_big > block_q:
+            kb = min(block_k, _round_up(skv, 128))
+            if not _CHUNKED:
+                # round-2 baseline: whole-q single block for short rows only
+                if sq_aligned <= 1024:
+                    block_q = bq_big
+            elif _chunked_feasible(d_pad, bq_big, _round_up(skv, kb), kb, itemsize):
+                block_q = bq_big
     block_q = min(block_q, sq_aligned)
     block_k = min(block_k, _round_up(skv, 128))
     return block_q, block_k
@@ -374,7 +395,10 @@ def _fwd(qt, kt, vt, *, block_q, block_k, kv_len):
         )(qt, kt, vt)
 
     chunk = _pick_chunk(d, skv, block_k)
-    if _chunked_feasible(d, block_q, skv, chunk, qt.dtype.itemsize):
+    if _CHUNKED and _chunked_feasible(
+        d, block_q, skv, chunk, qt.dtype.itemsize,
+        grid_cells=b * h * (sq // block_q),
+    ):
         # whole kv row per cell, chunked issue-first pipeline
         q_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi: (bi, hi, 0, qi))
         kv_spec = pl.BlockSpec((1, 1, d, skv), lambda bi, hi, qi: (bi, hi, 0, 0))
@@ -723,7 +747,10 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
 
     bq_dq = min(block_q, 512) if sq % min(block_q, 512) == 0 else block_q
     chunk = _pick_chunk(d, skv, block_k)
-    if _chunked_feasible(d, bq_dq, skv, chunk, qt.dtype.itemsize, bwd=True):
+    if _CHUNKED and _chunked_feasible(
+        d, bq_dq, skv, chunk, qt.dtype.itemsize, bwd=True,
+        grid_cells=b * h * (sq // bq_dq),
+    ):
         q_spec1 = pl.BlockSpec((1, 1, d, bq_dq), lambda bi, hi, qi: (bi, hi, 0, qi))
         kv_spec1 = pl.BlockSpec((1, 1, d, skv), lambda bi, hi, qi: (bi, hi, 0, 0))
         stat_spec1 = pl.BlockSpec((1, 1, _STAT_ROWS, bq_dq), lambda bi, hi, qi: (bi, hi, 0, qi))
@@ -760,9 +787,16 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
         )(qt, kt, vt, dot, lse, di)
 
     # dkv: whole-q chunked path — one cell per kv block, q pipelined in
-    # cq-sized chunks (same VMEM shape as dq with q/kv roles swapped)
+    # cq-sized chunks (same VMEM shape as dq with q/kv roles swapped).
+    # Feasibility in the KERNEL'S OWN terms: the per-cell output block is the
+    # (D, block_k) kv tile (the model's `bq` role) and the pipelined chunk is
+    # cq over the whole-q row (`s_whole`=sq) — the whole-q q/do operands are
+    # then the model's 2·d·s_whole resident term.
     cq = min(block_q, 512) if sq % min(block_q, 512) == 0 else block_q
-    if _chunked_feasible(d, cq, sq, block_k, qt.dtype.itemsize, bwd=True):
+    if _CHUNKED and _chunked_feasible(
+        d, block_k, sq, cq, qt.dtype.itemsize, bwd=True,
+        grid_cells=b * h * (skv // block_k),
+    ):
         q_spec3 = pl.BlockSpec((1, 1, d, sq), lambda bi, hi, ki: (bi, hi, 0, 0))
         kv_spec3 = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, ki: (bi, hi, 0, ki))
         stat_spec3 = pl.BlockSpec((1, 1, _STAT_ROWS, sq), lambda bi, hi, ki: (bi, hi, 0, 0))

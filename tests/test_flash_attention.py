@@ -126,6 +126,42 @@ def test_wide_cfg_hg_retry(monkeypatch):
     assert fa._wide_cfg(2, 20, 64, 1024, 1024, bwd=True) == (4, 2)
 
 
+def test_chunked_feasible_grid_term():
+    """Mosaic scoped-VMEM use grows with total grid size: the sample-b4 CFG
+    grid (8,10,4) stack-OOM'd (model 11.6 MB, real 16.86 MB = 1.45x). Large
+    grids get that measured margin so the dispatcher FALLS BACK to the
+    two-pass kernels instead of dying in the compiler; training-scale grids
+    (SDXL b2: 80 cells) and the sample-b2 grid (160) keep the chunked path."""
+    import neurosis_tpu.ops.flash_attention as fa
+
+    args = (64, 1024, 4096, 1024, 2)  # d, bq, s_whole, chunk, itemsize
+    assert fa._chunked_feasible(*args, grid_cells=2 * 10 * 4)  # SDXL b2 train
+    assert fa._chunked_feasible(*args, grid_cells=4 * 10 * 4)  # sample b2 CFG
+    assert not fa._chunked_feasible(*args, grid_cells=8 * 10 * 4)  # sample b4 CFG
+
+
+def test_resolve_blocks_divisor_bump():
+    """The big-block bump picks the largest divisor of the padded length
+    ≤ 1024 — a non-divisor bump (1024 at sq_aligned=2560) would pad ~20%
+    dead q rows for aspect-bucket shapes."""
+    import neurosis_tpu.ops.flash_attention as fa
+
+    assert fa._resolve_blocks(64, 2560, 2560, 0, 0)[0] == 640
+    assert fa._resolve_blocks(64, 4096, 4096, 0, 0)[0] == 1024
+
+
+def test_chunked_off_keeps_short_seq_bump(monkeypatch):
+    """NEUROSIS_FLASH_CHUNKED=0 gates kernel dispatch only: block resolution
+    keeps the round-2 short-seq whole-q bump (sq ≤ 1024), so the knob
+    reproduces the round-2 baseline instead of a worse config."""
+    import neurosis_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "_CHUNKED", False)
+    assert fa._resolve_blocks(64, 1024, 1024, 0, 0) == (1024, 1024)
+    # long rows: no bump without the chunked kernels (round-2 table value)
+    assert fa._resolve_blocks(64, 4096, 4096, 0, 0)[0] == 512
+
+
 def test_flash_onepass_table_mode(interpreted_flash):
     """Short-seq table mode (sq = skv ≤ 1024): the whole q and kv ranges are
     single blocks, so all three chunked kernels run with n_chunks == 1 (the

@@ -328,9 +328,13 @@ def _gn_vjp_bwd(res, dy):
             ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-    # silu'(p) = sig(p) * (1 + p * (1 - sig(p))) in fp32
-    sig = jax.nn.sigmoid(pre)
-    dpre = dact.astype(jnp.float32) * sig * (1.0 + pre * (1.0 - sig))
+    # silu'(p) = sig(p) * (1 + p * (1 - sig(p))) in fp32, evaluated at the
+    # SAME rounding point the fwd kernel uses (pre rounded to the storage
+    # dtype before silu — see _silu_at_rounded); the unrounded pre would
+    # differentiate a slightly different function in bf16
+    pre_r = pre.astype(x.dtype).astype(jnp.float32)
+    sig = jax.nn.sigmoid(pre_r)
+    dpre = dact.astype(jnp.float32) * sig * (1.0 + pre_r * (1.0 - sig))
     dx = (dpre * a[:, None, None, :]).astype(x.dtype)
     da = jnp.sum(dpre * x.astype(jnp.float32), axis=(1, 2))
     db = jnp.sum(dpre, axis=(1, 2))

@@ -66,11 +66,12 @@ def test_gn_silu_conv3x3_fwd_bwd_parity():
     loss_f = lambda fn: lambda *args: jnp.sum(fn(*args).astype(jnp.float32) ** 2)
     gp = jax.grad(loss_f(m.gn_silu_conv3x3), argnums=(0, 1, 2, 3))(x, a, b, wt)
     gx = jax.grad(loss_f(unfused), argnums=(0, 1, 2, 3))(x, a, b, wt)
-    # bf16: the fused bwd evaluates silu' at the fp32 pre-activation, the
-    # unfused autodiff at the bf16-cast one — pure rounding noise (the fp32
-    # test below pins the math itself to ~2e-7)
+    # bf16: both paths evaluate silu' at the bf16-rounded pre-activation
+    # (same rounding point as the fwd kernel) — residual error is matmul
+    # rounding only, measured ~4e-3 (the fp32 test below pins the math
+    # itself to ~2e-7)
     for name, ga, gb in zip("xabw", gp, gx):
-        assert _rel_err(ga, gb) < 2.5e-2, name
+        assert _rel_err(ga, gb) < 1e-2, name
 
     # fp32 inputs: exact gradient parity incl. the conv + silu' chain
     x32, wt32 = x.astype(jnp.float32), wt.astype(jnp.float32)

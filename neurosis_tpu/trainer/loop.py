@@ -15,6 +15,7 @@ save-on-crash (trainer/callbacks/exception.py:55-80).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import time
@@ -264,15 +265,22 @@ class Trainer:
         """Run training over batches from `batch_iter_factory()` per epoch."""
         if self.mesh is None:
             self.mesh = self._build_mesh()
-        if self.mesh is not None:
-            logger.info(f"training on mesh {dict(self.mesh.shape)}")
-            with self.mesh:
-                if hasattr(self.engine, "g_step"):
-                    return self._fit_vae(batch_iter_factory)
-                return self._fit_diffusion(batch_iter_factory)
-        if hasattr(self.engine, "g_step"):
-            return self._fit_vae(batch_iter_factory)
-        return self._fit_diffusion(batch_iter_factory)
+        with contextlib.ExitStack() as ctx:
+            # module spans are trace-time: a NeurosisProfiler callback with
+            # record_module_names=True needs the interceptor active when the
+            # step fn is jitted, so wrap the whole fit (metadata-only)
+            for cb in self.callbacks:
+                if getattr(cb, "record_module_names", False):
+                    from neurosis_tpu.utils.profiling import record_module_names
+
+                    ctx.enter_context(record_module_names(getattr(cb, "capture_depth", -1)))
+                    break
+            if self.mesh is not None:
+                logger.info(f"training on mesh {dict(self.mesh.shape)}")
+                ctx.enter_context(self.mesh)
+            if hasattr(self.engine, "g_step"):
+                return self._fit_vae(batch_iter_factory)
+            return self._fit_diffusion(batch_iter_factory)
 
     def _fit_vae(self, batch_iter_factory):
         """VAE/GAN loop: alternating G/D steps (models/autoencoder.py:280-293)."""

@@ -9,7 +9,7 @@ resolve to our Flax UNetModel, etc. Unknown paths fall back to a real import
 from __future__ import annotations
 
 import importlib
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 REGISTRY: Dict[str, Any] = {}
 

@@ -11,7 +11,7 @@ fetches from HF hub, dreamsim.py:16+); `split_vit_qkv` maps the fused qkv.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

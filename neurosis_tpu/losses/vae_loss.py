@@ -8,7 +8,6 @@ equivalent lives in the logging layer).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ torch_import accepts both key prefixes.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

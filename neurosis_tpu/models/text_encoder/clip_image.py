@@ -19,7 +19,7 @@ from flax import linen as nn
 
 from neurosis_tpu.modules.encoders.embedding import AbstractEmbModel
 
-from .clip import _CausalSelfAttention, _ln
+from .clip import _ln
 
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)

@@ -6,13 +6,13 @@ straight-through estimator (stop_gradient) exactly like the torch versions.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .distributions import DiagonalGaussian, diagonal_gaussian_regularize
+from .distributions import diagonal_gaussian_regularize
 
 
 class IdentityRegularizer:

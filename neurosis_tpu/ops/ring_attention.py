@@ -14,12 +14,11 @@ Use under `shard_map` with q/k/v sharded as P(None, None, 'context', None).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
-from .attention import _xla_attention
 
 
 def _attention_with_stats(q: jax.Array, k: jax.Array, v: jax.Array):

@@ -16,7 +16,7 @@ Reference math per step (CAME paper, Luo et al. 2023):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import chex
 import jax

@@ -6,7 +6,7 @@ compiled executable, and uncond/cond halves stay on-device.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ which are jnp for use inside jitted sampling loops.
 from __future__ import annotations
 
 import math
-from typing import Optional, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

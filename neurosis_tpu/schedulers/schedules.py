@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import math
 from bisect import bisect_left
-from typing import Optional, Sequence, Union
+from typing import Optional
 
 import numpy as np
 

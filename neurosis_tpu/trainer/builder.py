@@ -8,7 +8,7 @@ explicit walk of the node tree against config.registry.
 from __future__ import annotations
 
 import logging
-from typing import Any, Optional
+from typing import Optional
 
 import optax
 

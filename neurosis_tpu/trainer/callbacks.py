@@ -10,7 +10,7 @@ import logging
 import time
 from enum import Enum
 from pathlib import Path
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

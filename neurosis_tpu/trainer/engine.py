@@ -20,7 +20,6 @@ requires_grad=False + stop_gradient).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -32,7 +31,7 @@ from neurosis_tpu.diffusion.loss import StandardDiffusionLoss
 from neurosis_tpu.models.unet import UNetModel
 from neurosis_tpu.models.vae import Decoder, Encoder
 from neurosis_tpu.modules.distributions import DiagonalGaussian
-from neurosis_tpu.modules.ema import EmaState, ema_copy_to, ema_init, ema_update
+from neurosis_tpu.modules.ema import ema_copy_to, ema_init, ema_update
 from neurosis_tpu.modules.encoders.embedding import GeneralConditioner
 from neurosis_tpu.trainer.state import TrainState, next_rngs
 

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from neurosis_tpu.losses.vae_loss import AutoencoderLPIPSWithDiscr, AutoencoderPerceptual
 from neurosis_tpu.models.vae import Decoder, Encoder
 from neurosis_tpu.modules.distributions import DiagonalGaussian
 from neurosis_tpu.modules.ema import EmaState, ema_copy_to, ema_init, ema_update

@@ -5,7 +5,6 @@ Parity: the reference packages identical files under src/neurosis/data
 works offline with no runtime fetch.
 """
 
-import os
 
 import numpy as np
 import pytest

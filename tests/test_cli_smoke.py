@@ -1,8 +1,6 @@
 """End-to-end CLI smoke: `fit -c configs/smoke/sd15-tiny.yaml` runs one step
 on a generated tiny image folder (the reference's fast_dev_run analog)."""
 
-import os
-from pathlib import Path
 
 import numpy as np
 import pytest

@@ -11,8 +11,8 @@ import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
-import jax.numpy as jnp  # noqa: E402
-import optax  # noqa: E402
+
+
 
 from tests.test_engine_smoke import make_batch, make_tiny_engine  # noqa: E402
 

@@ -10,7 +10,6 @@ Run on-chip:  python tools/flash_sweep.py   (background; ~30-60 min of compiles)
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys

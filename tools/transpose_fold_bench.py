@@ -11,7 +11,6 @@ Run on-chip: python tools/transpose_fold_bench.py
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
@@ -28,7 +27,7 @@ jax.config.update('jax_compilation_cache_dir', _cache)
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
 import jax.numpy as jnp
 
-from neurosis_tpu.ops.flash_attention import _flash, _pad_to, _round_up, flash_attention
+from neurosis_tpu.ops.flash_attention import _flash, flash_attention
 
 B, S, C, H, D = 2, 4096, 640, 10, 64
 ITERS = 20

@@ -70,6 +70,8 @@ def main() -> None:
     mode = os.environ.get("NEUROSIS_BENCH_MODE", "sdxl")
     if mode == "vae":
         return vae_encode_bench()
+    if mode == "vae_train":
+        return vae_train_bench()
     if mode == "pipeline":
         return pipeline_bench()
     if mode == "sample":
@@ -519,6 +521,115 @@ def vae_encode_bench() -> None:
                 "unit": "imgs/s",
                 "vs_baseline": 0.0,
                 "detail": {"batch": batch, "res": res, "ms_per_batch": round(dt * 1e3, 2)},
+            }
+        )
+    )
+
+
+def vae_train_bench() -> None:
+    """VAE-GAN training step (the reference's second trainer pillar,
+    models/autoencoder.py:280-293): alternating G/D steps at 256px with
+    AutoencoderLPIPSWithDiscr — LPIPS VGG trunk + PatchGAN forward/backward
+    on-chip. Reports imgs/s through the alternating schedule (one optimizer
+    step per batch, like the reference's manual-optimization loop)."""
+    import os
+
+    jax = _jax_with_cpu_honored()
+
+    cache_dir = os.path.expanduser("~/.cache/neurosis_tpu_xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    import jax.numpy as jnp
+    import optax
+
+    from neurosis_tpu.losses.vae_loss import AutoencoderLPIPSWithDiscr
+    from neurosis_tpu.models.vae import Decoder, Encoder
+    from neurosis_tpu.trainer.vae_engine import AutoencodingEngine
+
+    on_tpu = jax.default_backend() == "tpu"
+    batch, res = (8, 256) if on_tpu else (1, 32)
+    batch = int(os.environ.get("NEUROSIS_BENCH_BATCH", batch))
+    dd = dict(
+        ch=128 if on_tpu else 32,
+        ch_mult=[1, 2, 4, 4] if on_tpu else [1, 2],
+        num_res_blocks=2 if on_tpu else 1,
+        attn_resolutions=[],
+        resolution=res,
+        z_channels=4 if on_tpu else 2,
+        dropout=0.0,
+    )
+    dtype = jnp.bfloat16 if on_tpu else None
+    engine = AutoencodingEngine(
+        encoder=Encoder(**dd, double_z=True, in_channels=3, dtype=dtype),
+        decoder=Decoder(**dd, out_ch=3, dtype=dtype),
+        loss=AutoencoderLPIPSWithDiscr(
+            lpips_type="vgg", disc_start=1, disc_n_layers=3 if on_tpu else 1
+        ),
+        g_optimizer=optax.adam(4.5e-6),
+        d_optimizer=optax.adam(4.5e-6),
+        kl_weight=1e-6,
+        disc_start=1,
+    )
+
+    import numpy as np
+
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(batch, res, res, 3).astype(np.float32) * 0.5
+    )
+    batch_d = {"image": x}
+    state = engine.init(jax.random.PRNGKey(0), batch_d)
+
+    iters = 10 if on_tpu else 2
+
+    def scan_n(step_fn):
+        @jax.jit
+        def run(state):
+            def body(s, _):
+                s2, log = step_fn(s, batch_d)
+                return s2, log["total"]
+            return jax.lax.scan(body, state, None, length=iters)
+
+        return run
+
+    g_n = scan_n(engine.g_step)
+    d_n = scan_n(engine.d_step)
+
+    print("bench[vae_train]: compiling G step...", file=sys.stderr, flush=True)
+    state, tot = g_n(state)  # warmup + move past disc_start
+    jax.block_until_ready(tot)
+    print("bench[vae_train]: compiling D step...", file=sys.stderr, flush=True)
+    state, tot = d_n(state)
+    jax.block_until_ready(tot)
+
+    start = time.perf_counter()
+    state, tot_g = g_n(state)
+    jax.block_until_ready(tot_g)
+    g_dt = (time.perf_counter() - start) / iters
+    start = time.perf_counter()
+    state, tot_d = d_n(state)
+    jax.block_until_ready(tot_d)
+    d_dt = (time.perf_counter() - start) / iters
+
+    # alternating schedule: each batch takes ONE step (G or D), so sustained
+    # throughput over a G+D pair is two batches per (g_dt + d_dt)
+    imgs_per_sec = 2 * batch / (g_dt + d_dt)
+    print(
+        json.dumps(
+            {
+                "metric": "vae_gan_train_imgs_per_sec" if on_tpu else "vae_gan_train_imgs_per_sec_cpu",
+                "value": round(imgs_per_sec, 2),
+                "unit": "imgs/s",
+                "vs_baseline": 0.0,
+                "detail": {
+                    "batch": batch,
+                    "res": res,
+                    "g_ms": round(g_dt * 1e3, 2),
+                    "d_ms": round(d_dt * 1e3, 2),
+                    "g_total": float(np.asarray(tot_g)[-1]),
+                    "d_total": float(np.asarray(tot_d)[-1]),
+                },
             }
         )
     )

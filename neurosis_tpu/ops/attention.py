@@ -47,6 +47,19 @@ def _xla_attention(
     return jax.ad_checkpoint.checkpoint_name(out, "attn_out")
 
 
+def _ambient_physical_mesh():
+    """The mesh installed by `with Mesh(...):` (the Trainer's style). The
+    supported accessor for that legacy context is thread_resources — read via
+    the internal module to avoid the public alias's deprecation warning."""
+    try:
+        from jax._src.mesh import thread_resources
+
+        mesh = thread_resources.env.physical_mesh
+        return None if mesh.empty else mesh
+    except Exception:  # pragma: no cover - jax internals moved
+        return None
+
+
 def _use_pallas() -> bool:
     if os.environ.get("NEUROSIS_DISABLE_PALLAS", "").lower() in ("1", "true"):
         return False
@@ -92,16 +105,50 @@ def dot_product_attention(
 ) -> jax.Array:
     """softmax(q kᵀ / sqrt(d)) v over [B, H, S, D] tensors.
 
-    context_axis: when set (inside shard_map with that mesh axis), self-attention
-    runs as ring attention over the axis — sequence parallelism over ICI.
+    context_axis: when set, self-attention runs as ring attention over that
+    mesh axis — sequence parallelism over ICI. Works both inside an enclosing
+    shard_map (the axis is already manual) and under plain jit with an ambient
+    mesh (`with mesh:` / `jax.set_mesh`): the dispatch then opens its own
+    shard_map, sharding S along the axis and the batch along the remaining
+    mesh axes. Sequences not divisible by the axis size fall back to
+    replicated attention (correctness over parallelism).
     """
     if context_axis is not None:
         from .ring_attention import ring_self_attention
 
-        out = ring_self_attention(q, k, v, axis_name=context_axis)
-        # named so the "names"/"dots_names" remat policies save the ring
-        # output instead of re-running the cross-chip permute loop in bwd
-        return jax.ad_checkpoint.checkpoint_name(out, "attn_out")
+        out = None
+        am = jax.sharding.get_abstract_mesh()
+        if context_axis in getattr(am, "manual_axes", ()):
+            # enclosing shard_map already owns the axis
+            out = ring_self_attention(q, k, v, axis_name=context_axis)
+        else:
+            mesh = am if not am.empty else _ambient_physical_mesh()
+            if mesh is not None and context_axis in mesh.axis_names:
+                n_ctx = mesh.shape[context_axis]
+                if q.shape[2] % n_ctx == 0 and n_ctx > 1:
+                    from jax.sharding import PartitionSpec as P
+
+                    # batch rides every other mesh axis that divides it
+                    keep, prod = [], 1
+                    for a in mesh.axis_names:
+                        sz = mesh.shape[a]
+                        if a != context_axis and sz > 1 and q.shape[0] % (prod * sz) == 0:
+                            keep.append(a)
+                            prod *= sz
+                    spec = P(tuple(keep) or None, None, context_axis, None)
+                    out = jax.shard_map(
+                        functools.partial(ring_self_attention, axis_name=context_axis),
+                        mesh=mesh,
+                        in_specs=(spec, spec, spec),
+                        out_specs=spec,
+                        check_vma=False,
+                    )(q, k, v)
+        if out is not None:
+            # named so the "names"/"dots_names" remat policies save the ring
+            # output instead of re-running the cross-chip permute loop in bwd
+            return jax.ad_checkpoint.checkpoint_name(out, "attn_out")
+        # no usable context axis (absent from the mesh, or S not divisible):
+        # fall through to single-program attention on the full sequence
     if _use_pallas() and mask is None and q.shape[-2] >= _PALLAS_MIN_SEQ:
         from .flash_attention import flash_attention
 

@@ -513,6 +513,41 @@ def vae_encode_bench() -> None:
     _ = float(encode_n(params, x))
     dt = (time.perf_counter() - start) / iters
     imgs_per_sec = batch / dt
+
+    detail = {"batch": batch, "res": res, "ms_per_batch": round(dt * 1e3, 2)}
+    if os.environ.get("NEUROSIS_BENCH_INPUT") == "ab":
+        # int8 input-path A/B (VERDICT r3 #6): host buffer → device transfer
+        # → encode, per-dispatch (the scan metric above excludes transfers).
+        # u8 ships 1 B/px/ch and dequantizes in-graph (ops/dequant.py).
+        import numpy as np
+
+        from neurosis_tpu.ops.dequant import dequant_image
+
+        rng = np.random.RandomState(0)
+        host_u8 = (rng.rand(batch, res, res, 3) * 255).astype(np.uint8)
+        host_f32 = (host_u8.astype(np.float32) * (2.0 / 255.0) - 1.0)
+
+        @jax.jit
+        def encode_once(p, img):
+            m = vae.apply({"params": p}, dequant_image(img).astype(x.dtype), method="encode")
+            return jnp.mean(m.astype(jnp.float32))
+
+        def timed(host_buf, n=20):
+            _ = float(encode_once(params, jnp.asarray(host_buf)))  # compile
+            t0 = time.perf_counter()
+            for _i in range(n):
+                out = encode_once(params, jnp.asarray(host_buf))
+            _ = float(out)
+            return batch / ((time.perf_counter() - t0) / n)
+
+        f32_rate = timed(host_f32)
+        u8_rate = timed(host_u8)
+        detail["input_ab"] = {
+            "f32_imgs_per_sec": round(f32_rate, 2),
+            "u8_imgs_per_sec": round(u8_rate, 2),
+            "u8_speedup": round(u8_rate / f32_rate, 4),
+        }
+
     print(
         json.dumps(
             {
@@ -520,7 +555,7 @@ def vae_encode_bench() -> None:
                 "value": round(imgs_per_sec, 3),
                 "unit": "imgs/s",
                 "vs_baseline": 0.0,
-                "detail": {"batch": batch, "res": res, "ms_per_batch": round(dt * 1e3, 2)},
+                "detail": detail,
             }
         )
     )

@@ -44,6 +44,7 @@ class ImageFolderDataset:
         shuffle_tags: bool = True,
         shuffle_keep: int = 0,
         seed: int = 0,
+        image_dtype: str = "float32",  # "uint8": int8 input path (ops/dequant.py)
     ):
         self.folder = Path(folder).resolve()
         if not self.folder.is_dir():
@@ -60,6 +61,7 @@ class ImageFolderDataset:
         self.process_tags = process_tags
         self.shuffle_tags = shuffle_tags
         self.shuffle_keep = shuffle_keep
+        self.image_dtype = image_dtype
         self.rng = np.random.default_rng(seed)
         self.preload()
 
@@ -119,7 +121,7 @@ class ImageFolderDataset:
             rng=self.rng,
         )
         return {
-            self.image_key: image_to_array(image),
+            self.image_key: image_to_array(image, getattr(self, 'image_dtype', 'float32')),
             self.caption_key: caption,
             "original_size_as_tuple": self._get_osize(tuple(sample.resolution), bucket),
             "crop_coords_top_left": crop,
@@ -186,9 +188,11 @@ class FolderSquareDataset:
         tag_sep: str = ", ",
         word_sep: str = " ",
         seed: int = 0,
+        image_dtype: str = "float32",  # "uint8": int8 input path (ops/dequant.py)
     ):
         self.folder = Path(folder).resolve()
         self.resolution = resolution
+        self.image_dtype = image_dtype
         self.batch_size = batch_size
         self.image_key = image_key
         self.caption_key = caption_key
@@ -221,7 +225,7 @@ class FolderSquareDataset:
             word_sep=self.word_sep,
             rng=self.rng,
         )
-        return {self.image_key: image_to_array(image), self.caption_key: caption}
+        return {self.image_key: image_to_array(image, getattr(self, 'image_dtype', 'float32')), self.caption_key: caption}
 
     def get_batch(self, indices: Sequence[int]) -> dict:
         return collate_dict_stack([self[i] for i in indices])
@@ -238,7 +242,7 @@ class FolderVAEDataset(FolderSquareDataset):
     def __getitem__(self, index: int) -> dict:
         path = self.paths[index]
         image, _ = load_crop_image_file(str(path), self.resolution, rng=self.rng)
-        return {self.image_key: image_to_array(image)}
+        return {self.image_key: image_to_array(image, getattr(self, 'image_dtype', 'float32'))}
 
 
 class MemeAspectDataset(ImageFolderDataset):

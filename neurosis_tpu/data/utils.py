@@ -84,14 +84,20 @@ def load_crop_image_file(path, resolution, resampling=None, rng=None):
     return pil_crop_square(image, resolution, resampling, rng)
 
 
-def image_to_array(image) -> np.ndarray:
+def image_to_array(image, dtype: str = "float32") -> np.ndarray:
     """PIL RGB → float32 NHWC in [-1, 1] (base.py default transforms parity:
     ToImage → scale to [0,1] → Normalize(.5,.5)).
 
     Dispatches to the native C++ core (neurosis_tpu.native, fused u8→f32
     normalize, OpenMP) when built; numpy otherwise (both use x*(2/255)-1,
-    which agrees with /255*2-1 to 1 ulp over all uint8 values)."""
+    which agrees with /255*2-1 to 1 ulp over all uint8 values).
+
+    dtype="uint8": the int8 input path — keep raw uint8 HWC (zero host float
+    work, 4x fewer host→device bytes); the engines dequantize in-graph
+    (ops/dequant.py)."""
     arr = np.asarray(image)
+    if dtype == "uint8":
+        return arr if arr.dtype == np.uint8 else np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
     if arr.dtype == np.uint8:
         from neurosis_tpu import native
 

@@ -54,7 +54,12 @@ from jax.experimental.pallas import tpu as pltpu
 #   d=80  S=4096:  512/2048 (61.6) > 1024/1024 (60.1) > 512/1024 (58.5)
 #   d=160 S=4096:  1024/1024 (78.7) > 512/1024 (77.0) > 512/512 (71.9)
 #   d=512 S=4096:  256/512 (68.2) > 512/512 (66.4); bigger blocks OOM VMEM
-_BLOCK_TABLE = {48: (512, 1024), 64: (512, 1024), 80: (512, 2048), 160: (1024, 1024)}
+# Round-4 re-sweep of d=40 at the REAL sd15-l0 grid (b=4, h=8 — the r3 sweep's
+# winner does not hold at production grids; tools/sd15_l0_probe.py):
+#   512/4096 (52.6) ≈ 1024/2048 (52.5) > 512/2048 (50.7) > 1024/1024 (50.2)
+#   > 512/1024 (46.6); */8192 and 1024/4096 OOM scoped VMEM.
+#   Chunked small-bq variants all LOSE here (bq=256: 39.4, bq=128: 24.7).
+_BLOCK_TABLE = {48: (512, 4096), 64: (512, 1024), 80: (512, 2048), 160: (1024, 1024)}
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
 _STAT_ROWS = 8  # fp32 min sublane tile for the (rows, S) stat arrays

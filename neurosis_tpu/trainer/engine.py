@@ -33,6 +33,7 @@ from neurosis_tpu.models.vae import Decoder, Encoder
 from neurosis_tpu.modules.distributions import DiagonalGaussian
 from neurosis_tpu.modules.ema import ema_copy_to, ema_init, ema_update
 from neurosis_tpu.modules.encoders.embedding import GeneralConditioner
+from neurosis_tpu.ops.dequant import dequant_image
 from neurosis_tpu.trainer.state import TrainState, next_rngs
 
 
@@ -81,11 +82,11 @@ class DiffusionEngine:
 
         frozen = {"conditioner": cond_frozen}
         if self.first_stage is not None:
-            img = batch[self.input_key]
+            img = dequant_image(batch[self.input_key])
             frozen["first_stage"] = self.first_stage.init(r_vae, img)["params"]
         else:
             if self.first_stage_encoder is not None:
-                img = batch[self.input_key]
+                img = dequant_image(batch[self.input_key])
                 frozen["first_stage_encoder"] = self.first_stage_encoder.init(r_vae, img)["params"]
             if self.first_stage_decoder is not None:
                 z = latents / self.scale_factor
@@ -102,7 +103,7 @@ class DiffusionEngine:
     def _example_latents(self, batch: dict) -> jax.Array:
         if self.latents_key and self.latents_key in batch:
             return batch[self.latents_key]
-        img = batch[self.input_key]
+        img = dequant_image(batch[self.input_key])
         if self.identity_first_stage:
             return jnp.zeros(img.shape, img.dtype)
         h, w = img.shape[1] // 8, img.shape[2] // 8
@@ -126,7 +127,10 @@ class DiffusionEngine:
     # ------------------------------------------------------------------
 
     def encode_first_stage(self, frozen: dict, x: jax.Array, rng: jax.Array) -> jax.Array:
-        """images [-1,1] NHWC → scaled latents (models/diffusion.py:187-197)."""
+        """images [-1,1] NHWC → scaled latents (models/diffusion.py:187-197).
+        uint8 batches (the int8 input path, ops/dequant.py) dequantize here —
+        XLA fuses the multiply-add into the VAE conv_in."""
+        x = dequant_image(x)
         if self.identity_first_stage:
             return jax.lax.stop_gradient(self.scale_factor * x)
         if self.first_stage is not None:

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from neurosis_tpu.models.vae import Decoder, Encoder
+from neurosis_tpu.ops.dequant import dequant_image
 from neurosis_tpu.modules.distributions import DiagonalGaussian
 from neurosis_tpu.modules.ema import EmaState, ema_copy_to, ema_init, ema_update
 from neurosis_tpu.trainer.state import next_rngs
@@ -149,7 +150,7 @@ class AutoencodingEngine:
     # ------------------------------------------------------------------
 
     def init(self, rng: jax.Array, batch: dict) -> VAETrainState:
-        x = batch[self.input_key]
+        x = dequant_image(batch[self.input_key])
         r_enc, r_dec, r_loss, r_reg, r_state = jax.random.split(rng, 5)
         enc_params = self.encoder.init(r_enc, x)["params"]
         moments = self.encoder.apply({"params": enc_params}, x)
@@ -275,7 +276,7 @@ class AutoencodingEngine:
     def g_step(self, state: VAETrainState, batch: dict):
         """Generator (AE) update — optimizer_idx 0."""
         rng, z_rng = next_rngs(state.rng, 1)
-        x = batch[self.input_key]
+        x = dequant_image(batch[self.input_key])
 
         extra = {}
         if self.adaptive_disc_weight and hasattr(self.loss, "nll_scalar"):
@@ -342,7 +343,7 @@ class AutoencodingEngine:
         if not self.has_discriminator:
             raise ValueError("engine has no discriminator")
         rng, z_rng = next_rngs(state.rng, 1)
-        x = batch[self.input_key]
+        x = dequant_image(batch[self.input_key])
         z, recons, _ = self.forward(state.params, x, z_rng, reg_stats=state.reg_stats)
         recons = jax.lax.stop_gradient(recons)
 
@@ -386,7 +387,7 @@ class AutoencodingEngine:
         """validation_step (autoencoder.py:295-301): generator loss with raw
         params, then again under the EMA scope (`*_ema` metrics)."""
         rng, z_rng = next_rngs(state.rng, 1)
-        x = batch[self.input_key]
+        x = dequant_image(batch[self.input_key])
 
         def _metrics(params):
             _, recons, reg_log = self.forward(params, x, z_rng, reg_stats=state.reg_stats)
@@ -416,7 +417,7 @@ class AutoencodingEngine:
         import numpy as np
 
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        x = batch[self.input_key][:num_img]
+        x = dequant_image(batch[self.input_key])[:num_img]
 
         def _recon_and_diffs(params, suffix=""):
             _, recons, _ = self.forward(params, x, rng, reg_stats=state.reg_stats)

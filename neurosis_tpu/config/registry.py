@@ -251,6 +251,9 @@ def _populate():
         "neurosis.optimizers.Adafactor": Adafactor,
         "neurosis.optimizers.AdafactorScheduler": adafactor_relative_step_schedule,
         # Lightning callback class paths → our callbacks (consumed by the CLI)
+        "neurosis.trainer.profile.NeurosisProfiler": _attr("neurosis_tpu.trainer.profile", "NeurosisProfiler"),
+        "neurosis.trainer.profile.profiler.NeurosisProfiler": _attr("neurosis_tpu.trainer.profile", "NeurosisProfiler"),
+        "NeurosisProfiler": _attr("neurosis_tpu.trainer.profile", "NeurosisProfiler"),
         "DeviceStatsMonitor": _cb_cls("DeviceStatsCallback"),
         "lightning.pytorch.callbacks.DeviceStatsMonitor": _cb_cls("DeviceStatsCallback"),
         "lightning.pytorch.callbacks.ModelSummary": _cb_cls("ModelSummaryCallback"),

@@ -137,6 +137,24 @@ def _build(args):
                 callbacks.append(resolve_class_path(cp)(**ia))
             except Exception:
                 logger.warning(f"skipping unsupported trainer callback {cp!r}")
+    if trainer_cfg.get("profiler"):
+        # Lightning `trainer.profiler:` arg (reference NeurosisProfiler,
+        # trainer/profile/profiler.py) → our step-windowed jax.profiler
+        # callback with module-name spans
+        from neurosis_tpu.trainer.profile import NeurosisProfiler, ProfilerSchedule
+
+        node = trainer_cfg["profiler"]
+        ia = (node.get("init_args") or {}) if isinstance(node, dict) else {}
+        sched = ia.get("schedule") or {}
+        known = {k: sched[k] for k in ("skip_first", "wait", "warmup", "active", "repeat") if k in sched}
+        callbacks.append(
+            NeurosisProfiler(
+                dirpath=ia.get("dirpath", "./profiles"),
+                schedule=ProfilerSchedule(**known) if known else None,
+                record_module_names=ia.get("record_module_names", True),
+                capture_depth=ia.get("capture_depth", -1),
+            )
+        )
     if cfg.get("image_logger"):
         from neurosis_tpu.trainer.callbacks import ImageLogger
 

@@ -67,6 +67,8 @@ def _iter_trace_events(trace_dir: Path):
             args = ev.get("args", {})
             if ev.get("ph") != "X":
                 continue
+            if ev.get("name", "").isdigit():
+                continue  # whole-run region rows named by ordinal, not ops
             if "device_duration_ps" in args:
                 yield ev["name"], int(args["device_duration_ps"]) / 1e6, args.get("tf_op", "")
             elif "hlo_op" in args:

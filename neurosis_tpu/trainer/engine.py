@@ -303,7 +303,7 @@ class DiffusionEngine:
         import numpy as np
 
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        x = batch[self.input_key][:num_img]
+        x = dequant_image(jnp.asarray(batch[self.input_key][:num_img]))
         n = x.shape[0]
         log: dict = {"inputs": np.asarray(x)}
 

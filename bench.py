@@ -631,20 +631,25 @@ def vae_train_bench() -> None:
     g_n = scan_n(engine.g_step)
     d_n = scan_n(engine.d_step)
 
+    # completion barrier: block_until_ready returns at DISPATCH through the
+    # axon tunnel; only a host transfer proves execution finished (NOTES.md)
+    def barrier(tot):
+        return float(np.asarray(tot)[-1])
+
     print("bench[vae_train]: compiling G step...", file=sys.stderr, flush=True)
     state, tot = g_n(state)  # warmup + move past disc_start
-    jax.block_until_ready(tot)
+    barrier(tot)
     print("bench[vae_train]: compiling D step...", file=sys.stderr, flush=True)
     state, tot = d_n(state)
-    jax.block_until_ready(tot)
+    barrier(tot)
 
     start = time.perf_counter()
     state, tot_g = g_n(state)
-    jax.block_until_ready(tot_g)
+    barrier(tot_g)
     g_dt = (time.perf_counter() - start) / iters
     start = time.perf_counter()
     state, tot_d = d_n(state)
-    jax.block_until_ready(tot_d)
+    barrier(tot_d)
     d_dt = (time.perf_counter() - start) / iters
 
     # alternating schedule: each batch takes ONE step (G or D), so sustained

@@ -97,6 +97,46 @@ _WIDE = os.environ.get("NEUROSIS_FLASH_WIDE", "1") != "0"
 # 1024-token SDXL level-2) — head-grouped cells with the whole kv row as ONE
 # softmax chunk. Default ON: step-level A/B 2.3684 vs 2.360 steps/s (SDXL b2).
 _WIDE_SELF = os.environ.get("NEUROSIS_FLASH_WIDE_SELF", "1") != "0"
+# STREAMED whole-row kernels for rows where the unrolled chunked pipeline is
+# VMEM-infeasible (16k-token SD1.5 level 0): same issue-first math, but the
+# in-flight st (and bwd dpt) tiles are staged through a fori_loop-bounded
+# VMEM scratch double-buffer, so the footprint is independent of row length.
+# DEFAULT OFF — a MEASURED NULL (round 4, tools/streamed_probe.py, real
+# sd15-l0 grid b4/h8/16k/d40, ABAB same-window): streamed 40.2 TF/s fwd+bwd
+# (fwd-only a wash: 48.5 vs 48.9) vs two-pass 52.4. The issue-first overlap
+# does not materialize through scratch refs or loop carries; the r3 chunked
+# wins came from fewer grid cells at SHORT rows, which 16k rows don't need.
+_STREAMED = os.environ.get("NEUROSIS_FLASH_STREAMED", "0") != "0"
+# SUB-CHUNKED two-pass kernels: split each (BK, BQ) logit tile into an
+# unrolled issue-first sub-chunk pipeline inside the cell. DEFAULT OFF —
+# also a MEASURED NULL at the same grid (51.8 vs 52.4 TF/s mono; the dq/dkv
+# blocks must halve to fit Mosaic's per-unroll stack allocation, giving the
+# win back). Kept as an A/B escape hatch with the VMEM model calibrated
+# against the measured 19.91 MB dkv overrun.
+_SUBCHUNK = os.environ.get("NEUROSIS_FLASH_SUBCHUNK", "0") != "0"
+
+
+def _two_pass_cfg(kind: str, block: int, bq: int) -> tuple:
+    """(block, n_sub) for a two-pass kernel cell.
+
+    Sub-chunking unrolls the logit tile into ~1024-row issue-first pieces;
+    Mosaic's stack allocator allocates per UNROLLED iteration and reuses only
+    ~60%, so the cap is cumulative bytes over the whole block — measured:
+    the dkv cell at block 4096 × bq 512 (16 B/logit: st4 + dpt4 + pt4+2 +
+    dst2) allocates 19.91 MB against the 16 MB limit, while the fwd cell
+    (10 B/logit: st4 + pt4+2) compiles. Kernels whose table block busts the
+    cap get the block halved once (more grid steps, smaller tiles) before
+    giving up on sub-chunking."""
+    if not (_CHUNKED and _SUBCHUNK):
+        return block, 1
+    bpl = {"fwd": 10, "dq": 14, "dkv": 16}[kind]
+    for blk in (block, block // 2):
+        n = max(1, blk // 1024)
+        while blk % n:
+            n -= 1
+        if n > 1 and bpl * blk * bq * 0.6 <= _CHUNK_VMEM_BUDGET:
+            return blk, n
+    return block, 1
 
 
 def _pick_chunk(d: int, skv: int, block_k: int) -> int:
@@ -145,6 +185,51 @@ def _chunked_feasible(
     if grid_cells > 160:
         use = int(use * 1.45)
     return use <= _CHUNK_VMEM_BUDGET
+
+
+def _streamed_cfg(
+    d: int,
+    bq: int,
+    s_whole: int,
+    itemsize: int,
+    bwd: bool = False,
+    stats_whole: bool = False,
+    grid_cells: int = 1,
+) -> int | None:
+    """Chunk size for a STREAMED whole-row kernel cell, or None if even the
+    smallest chunk busts VMEM. Unlike _chunked_feasible there is no cumulative
+    unroll cap: the in-flight st (and bwd dpt) tiles live in two explicit
+    scratch buffers, so the footprint is the whole-row operands + 2 (fwd) or
+    4 (bwd) fp32 (chunk, bq) scratch tiles + one live pt/dst temporary set.
+    Larger chunks amortize the MXU/VPU handoff better, so the largest
+    feasible divisor chunk wins. `stats_whole` adds the whole-row lse/di
+    operands (the dkv cell). Large grids get the measured 1.45x Mosaic
+    scoped-VMEM margin (see _chunked_feasible)."""
+    if not (_CHUNKED and _STREAMED):
+        return None
+    for chunk in (2048, 1024, 512, 256):
+        if chunk > s_whole or s_whole % chunk:
+            continue
+        if s_whole // chunk < 2 or (s_whole // chunk) % 2:
+            # single chunk: the plain chunked kernel handles it; odd counts
+            # don't fit the kernels' 2x-unrolled pipeline
+            continue
+        whole = 2 * d * s_whole * itemsize
+        if stats_whole:
+            whole += 2 * _STAT_ROWS * s_whole * 4
+        scr = (4 if bwd else 2) * 4 * chunk * bq
+        temps = (4 + itemsize) * chunk * bq  # pt fp32 + bf16 copy
+        if bwd:
+            temps += (4 + itemsize) * chunk * bq  # dpt consume + dst bf16
+        qo = d * bq * (itemsize + 4)
+        if bwd:
+            qo += 2 * d * bq * itemsize  # do tile + d-output tile
+        use = whole + scr + temps + qo
+        if grid_cells > 160:
+            use = int(use * 1.45)
+        if use <= _CHUNK_VMEM_BUDGET:
+            return chunk
+    return None
 
 
 def _resolve_blocks(d_pad: int, sq: int, skv: int, block_q: int, block_k: int,
@@ -202,8 +287,17 @@ def _dg(a, b, dims):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_scr, l_scr, *, kv_len):
-    """One (b, h, q_block, kv_block) step; tensor blocks (D, S), logits (BK, BQ)."""
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_scr, l_scr, *,
+                kv_len, n_sub=1):
+    """One (b, h, q_block, kv_block) step; tensor blocks (D, S), logits (BK, BQ).
+
+    n_sub > 1 splits the kv block into an UNROLLED issue-first sub-chunk
+    pipeline (see _fwd_chunked_kernel) — the per-cell m/l/acc scratch still
+    carries online-softmax state across grid steps, but within a cell the
+    MXU executes sub-chunk i+1's st underneath sub-chunk i's exp2. This is
+    the long-row configuration (16k-token SD1.5 level 0) where the whole-row
+    chunked kernel is VMEM-infeasible and the monolithic (BK, BQ) tile of
+    the plain two-pass kernel serializes MXU and VPU."""
     nk = pl.num_programs(3)
     ki = pl.program_id(3)
 
@@ -219,6 +313,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_scr, l_scr, *, k
     qt = q_ref[0, 0]  # (D, BQ)
     kt = k_ref[0, 0]  # (D, BK)
     vt = v_ref[0, 0]  # (D, BK)
+    bk = kt.shape[1] // n_sub
 
     # st[k, q] in BASE-2 log space — contract D over sublanes, BQ at full
     # lane width. q arrives PRE-SCALED by scale·log2(e) (one fused XLA pass in
@@ -227,29 +322,37 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_scr, l_scr, *, k
     # VPU dependency ahead of the first MXU op of the cell (an in-kernel
     # q-rescale measured -14% at the 1024-token shape — it serializes the
     # matmul issue behind the VPU).
-    st = _dg(kt, qt, ((0,), (0,)))  # (BK, BQ)
-    if kv_len is not None:  # None → kv tile-aligned, mask statically elided
-        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
-        st = jnp.where(row < kv_len, st, NEG_INF)
+    m = m_scr[0:1, :]  # (1, BQ), base-2
+    l = l_scr[0:1, :]
+    o = acc_ref[:]
+    st = [None] * n_sub
+    st[0] = _dg(kt[:, :bk], qt, ((0,), (0,)))  # (BK, BQ)
+    for i in range(n_sub):
+        if i + 1 < n_sub:
+            st[i + 1] = _dg(kt[:, (i + 1) * bk : (i + 2) * bk], qt, ((0,), (0,)))
+        st_i = st[i]
+        st[i] = None
+        if kv_len is not None:  # None → kv tile-aligned, mask statically elided
+            row = jax.lax.broadcasted_iota(jnp.int32, st_i.shape, 0) + ki * n_sub * bk + i * bk
+            st_i = jnp.where(row < kv_len, st_i, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(st_i, axis=0, keepdims=True))  # (1, BQ)
+        alpha = jnp.exp2(m - m_new)  # (1, BQ)
+        pt = jnp.exp2(st_i - m_new)  # (BK, BQ)
+        l = alpha * l + jnp.sum(pt, axis=0, keepdims=True)
+        # o^T (D, BQ) += v^T (D, BK) @ p^T (BK, BQ) — contract BK
+        o = o * alpha + _dg(vt[:, i * bk : (i + 1) * bk], pt.astype(vt.dtype), ((1,), (0,)))
+        m = m_new
 
-    m_prev = m_scr[0:1, :]  # (1, BQ), base-2
-    m_cur = jnp.max(st, axis=0, keepdims=True)  # (1, BQ)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp2(m_prev - m_new)  # (1, BQ)
-    pt = jnp.exp2(st - m_new)  # (BK, BQ)
-
-    l_new = alpha * l_scr[0:1, :] + jnp.sum(pt, axis=0, keepdims=True)
-    # o^T (D, BQ) += v^T (D, BK) @ p^T (BK, BQ) — contract BK
-    acc_ref[:] = acc_ref[:] * alpha + _dg(vt, pt.astype(vt.dtype), ((1,), (0,)))
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_ref[:] = o
+    m_scr[:] = jnp.broadcast_to(m, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l, l_scr.shape)
 
     @pl.when(ki == nk - 1)
     def _finalize():
-        l = l_scr[0:1, :]
-        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        lf = l_scr[0:1, :]
+        o_ref[0, 0] = (acc_ref[:] / lf).astype(o_ref.dtype)
         # lse reported in NATURAL log — the bwd kernels are base-e
-        lse = m_scr[0:1, :] * (1.0 / LOG2_E) + jnp.log(jnp.maximum(l, 1e-30))
+        lse = m_scr[0:1, :] * (1.0 / LOG2_E) + jnp.log(jnp.maximum(lf, 1e-30))
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
@@ -296,6 +399,170 @@ def _fwd_chunked_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, n_chunks, kv_len
     o_ref[0, 0] = (o / l).astype(o_ref.dtype)
     lse = m * (1.0 / LOG2_E) + jnp.log(jnp.maximum(l, 1e-30))
     lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _fwd_streamed_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, st_scr, *, n_chunks, kv_len):
+    """STREAMED whole-kv-row forward for rows where the unrolled chunked
+    pipeline is VMEM-infeasible (16k-token SD1.5 level 0): the chunk loop is
+    a lax.fori_loop whose body Mosaic allocates ONCE — the unrolled variant's
+    per-iteration st/pt stack tiles are what OOM'd scoped VMEM at long rows
+    (measured 28.6 MB at S=16384/bq=512 even with st in scratch). The
+    issue-first schedule survives as an explicit 2x-unrolled software
+    pipeline with STATIC buffer indices — a (i+1)%2 dynamic index would make
+    the scratch write and read potentially aliasing to the compiler, which
+    serializes the MXU behind the VPU (measured 33.4 vs 52.4 TF/s two-pass).
+    Each fori_loop trip handles chunks 2t (buf0) and 2t+1 (buf1): buf1's st
+    is issued before buf0's VPU phase, buf0's NEXT st before buf1's VPU
+    phase. Online rescale state rides the loop carry. n_chunks must be even
+    (_streamed_cfg guarantees it)."""
+    qt = q_ref[0, 0]  # (D, BQ)
+    d, bq = qt.shape
+    skv = k_ref.shape[3]
+    bk = skv // n_chunks
+
+    def _issue(i, buf):
+        kc = k_ref[0, 0, :, pl.ds(i * bk, bk)]  # (D, BK)
+        st_scr[buf] = _dg(kc, qt, ((0,), (0,)))  # (BK, BQ), base-2 (q pre-scaled)
+
+    def _consume(i, st_i, carry):
+        m, l, o = carry
+        if kv_len is not None:
+            row = jax.lax.broadcasted_iota(jnp.int32, st_i.shape, 0) + i * bk
+            st_i = jnp.where(row < kv_len, st_i, NEG_INF)
+        m_i = jnp.max(st_i, axis=0, keepdims=True)  # (1, BQ)
+        m_new = jnp.maximum(m, m_i)
+        pt = jnp.exp2(st_i - m_new)
+        l_i = jnp.sum(pt, axis=0, keepdims=True)
+        vc = v_ref[0, 0, :, pl.ds(i * bk, bk)]
+        o_i = _dg(vc, pt.astype(v_ref.dtype), ((1,), (0,)))  # (D, BQ)
+        alpha = jnp.exp2(m - m_new)
+        return m_new, l * alpha + l_i, o * alpha + o_i
+
+    _issue(0, 0)
+
+    def body(t, carry):
+        i = 2 * t
+        _issue(i + 1, 1)
+        carry = _consume(i, st_scr[0], carry)
+
+        @pl.when(i + 2 < n_chunks)
+        def _():
+            _issue(i + 2, 0)
+
+        return _consume(i + 1, st_scr[1], carry)
+
+    carry = (
+        jnp.full((1, bq), NEG_INF, jnp.float32),
+        jnp.zeros((1, bq), jnp.float32),
+        jnp.zeros((d, bq), jnp.float32),
+    )
+    m, l, o = jax.lax.fori_loop(0, n_chunks // 2, body, carry)
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+    lse = m * (1.0 / LOG2_E) + jnp.log(jnp.maximum(l, 1e-30))
+    lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _bwd_dq_streamed_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
+                            st_scr, dpt_scr, *, n_chunks, scale, kv_len):
+    """STREAMED whole-kv dq (see _fwd_streamed_kernel): 2x-unrolled fori_loop
+    with static scratch indices; st AND dpt staged through double-buffers —
+    both of a chunk's independent matmuls are issued before its VPU phase
+    (dpt depends only on the resident v/do, not on pt). dq accumulator rides
+    the loop carry."""
+    qt = q_ref[0, 0]  # (D, BQ)
+    dot = do_ref[0, 0]  # (D, BQ)
+    lse2 = lse_ref[0, 0][0:1, :] * LOG2_E  # (1, BQ), base-2
+    di = di_ref[0, 0][0:1, :]  # (1, BQ)
+    d, bq = qt.shape
+    skv = k_ref.shape[3]
+    bk = skv // n_chunks
+
+    def _issue(i, buf):
+        kc = k_ref[0, 0, :, pl.ds(i * bk, bk)]
+        vc = v_ref[0, 0, :, pl.ds(i * bk, bk)]
+        st_scr[buf] = _dg(kc, qt, ((0,), (0,)))  # (BK, BQ); q pre-scaled
+        dpt_scr[buf] = _dg(vc, dot, ((0,), (0,)))  # (BK, BQ)
+
+    def _consume(i, st_i, dpt, acc):
+        if kv_len is not None:
+            row = jax.lax.broadcasted_iota(jnp.int32, st_i.shape, 0) + i * bk
+            st_i = jnp.where(row < kv_len, st_i, NEG_INF)
+        pt = jnp.exp2(st_i - lse2)
+        dst = (pt * (dpt - di)).astype(q_ref.dtype)  # unscaled
+        kc = k_ref[0, 0, :, pl.ds(i * bk, bk)]
+        return acc + _dg(kc, dst, ((1,), (0,)))  # (D, BQ)
+
+    _issue(0, 0)
+
+    def body(t, acc):
+        i = 2 * t
+        _issue(i + 1, 1)
+        acc = _consume(i, st_scr[0], dpt_scr[0], acc)
+
+        @pl.when(i + 2 < n_chunks)
+        def _():
+            _issue(i + 2, 0)
+
+        return _consume(i + 1, st_scr[1], dpt_scr[1], acc)
+
+    acc = jax.lax.fori_loop(0, n_chunks // 2, body, jnp.zeros((d, bq), jnp.float32))
+    dq_ref[0, 0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_streamed_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+                             st_scr, dpt_scr, *, n_chunks, kv_len):
+    """STREAMED whole-q dk/dv (see _fwd_streamed_kernel): one grid cell owns
+    a kv block and the FULL q range as a 2x-unrolled fori_loop over q chunks
+    with static scratch indices, st/dpt staged through double-buffers, dk/dv
+    accumulators in the carry."""
+    ki = pl.program_id(2)
+    kt = k_ref[0, 0]  # (D, BK)
+    vt = v_ref[0, 0]  # (D, BK)
+    d, bk = kt.shape
+    sq = q_ref.shape[3]
+    cq = sq // n_chunks
+
+    def _issue(j, buf):
+        qc = q_ref[0, 0, :, pl.ds(j * cq, cq)]
+        dc = do_ref[0, 0, :, pl.ds(j * cq, cq)]
+        st_scr[buf] = _dg(kt, qc, ((0,), (0,)))  # (BK, CQ); q pre-scaled
+        dpt_scr[buf] = _dg(vt, dc, ((0,), (0,)))  # (BK, CQ)
+
+    def _consume(j, st_j, dpt, carry):
+        dk, dv = carry
+        lse2 = lse_ref[0, 0, 0:1, pl.ds(j * cq, cq)] * LOG2_E
+        di_j = di_ref[0, 0, 0:1, pl.ds(j * cq, cq)]
+        pt = jnp.exp2(st_j - lse2)
+        if kv_len is not None:
+            row = jax.lax.broadcasted_iota(jnp.int32, pt.shape, 0) + ki * bk
+            pt = jnp.where(row < kv_len, pt, 0.0)
+        dc = do_ref[0, 0, :, pl.ds(j * cq, cq)]
+        # dv^T (D, BK) += do^T (D, CQ) @ p (CQ, BK) — contract CQ (pt lanes)
+        dv_c = _dg(dc, pt.astype(do_ref.dtype), ((1,), (1,)))
+        dst = (pt * (dpt - di_j)).astype(q_ref.dtype)
+        qc = q_ref[0, 0, :, pl.ds(j * cq, cq)]
+        # dk^T (D, BK) += q^T (D, CQ) @ ds (CQ, BK) — contract CQ
+        dk_c = _dg(qc, dst, ((1,), (1,)))
+        return dk + dk_c, dv + dv_c
+
+    _issue(0, 0)
+
+    def body(t, carry):
+        j = 2 * t
+        _issue(j + 1, 1)
+        carry = _consume(j, st_scr[0], dpt_scr[0], carry)
+
+        @pl.when(j + 2 < n_chunks)
+        def _():
+            _issue(j + 2, 0)
+
+        return _consume(j + 1, st_scr[1], dpt_scr[1], carry)
+
+    carry = (jnp.zeros((d, bk), jnp.float32), jnp.zeros((d, bk), jnp.float32))
+    dk, dv = jax.lax.fori_loop(0, n_chunks // 2, body, carry)
+    # dk = q·dsᵀ·scale with q = q̃/(scale·log2e) ⇒ dk = q̃·dsᵀ/log2e
+    dk_ref[0, 0] = (dk * (1.0 / LOG2_E)).astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
 def _fwd_wide_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, hg, n_cq, kv_len):
@@ -400,16 +667,25 @@ def _fwd(qt, kt, vt, *, block_q, block_k, kv_len):
         )(qt, kt, vt)
 
     chunk = _pick_chunk(d, skv, block_k)
+    grid_cells = b * h * (sq // block_q)
+    scratch = None
     if _CHUNKED and _chunked_feasible(
-        d, block_q, skv, chunk, qt.dtype.itemsize,
-        grid_cells=b * h * (sq // block_q),
+        d, block_q, skv, chunk, qt.dtype.itemsize, grid_cells=grid_cells,
     ):
-        # whole kv row per cell, chunked issue-first pipeline
+        pass  # unrolled chunked pipeline, no scratch
+    else:
+        chunk = _streamed_cfg(d, block_q, skv, qt.dtype.itemsize, grid_cells=grid_cells)
+        if chunk is not None:
+            scratch = [pltpu.VMEM((2, chunk, block_q), jnp.float32)]
+    if _CHUNKED and chunk is not None:
+        # whole kv row per cell, chunked issue-first pipeline (fori_loop
+        # streamed variant when the unrolled one is VMEM-infeasible)
+        kern = _fwd_streamed_kernel if scratch else _fwd_chunked_kernel
         q_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi: (bi, hi, 0, qi))
         kv_spec = pl.BlockSpec((1, 1, d, skv), lambda bi, hi, qi: (bi, hi, 0, 0))
         lse_spec = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, qi: (bi, hi, 0, qi))
         return pl.pallas_call(
-            functools.partial(_fwd_chunked_kernel, n_chunks=skv // chunk, kv_len=kv_len),
+            functools.partial(kern, n_chunks=skv // chunk, kv_len=kv_len),
             grid=grid[:3],
             in_specs=[q_spec, kv_spec, kv_spec],
             out_specs=(q_spec, lse_spec),
@@ -417,6 +693,7 @@ def _fwd(qt, kt, vt, *, block_q, block_k, kv_len):
                 jax.ShapeDtypeStruct((b, h, d, sq), qt.dtype),
                 jax.ShapeDtypeStruct((b, h, _STAT_ROWS, sq), jnp.float32),
             ),
+            scratch_shapes=scratch or [],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel"),
             ),
@@ -427,18 +704,19 @@ def _fwd(qt, kt, vt, *, block_q, block_k, kv_len):
             ),
         )(qt, kt, vt)
 
+    bk_tp, n_sub = _two_pass_cfg("fwd", block_k, block_q)
     q_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi))
-    kv_spec = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, qi, ki: (bi, hi, 0, ki))
+    kv_spec = pl.BlockSpec((1, 1, d, bk_tp), lambda bi, hi, qi, ki: (bi, hi, 0, ki))
     lse_spec = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi))
 
     out_shapes = (
         jax.ShapeDtypeStruct((b, h, d, sq), qt.dtype),
         jax.ShapeDtypeStruct((b, h, _STAT_ROWS, sq), jnp.float32),
     )
-    kernel = functools.partial(_fwd_kernel, kv_len=kv_len)
+    kernel = functools.partial(_fwd_kernel, kv_len=kv_len, n_sub=n_sub)
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(b, h, sq // block_q, skv // bk_tp),
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=(q_spec, lse_spec),
         out_shape=out_shapes,
@@ -463,7 +741,11 @@ def _fwd(qt, kt, vt, *, block_q, block_k, kv_len):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, acc_ref, *, scale, kv_len):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, acc_ref, *,
+                   scale, kv_len, n_sub=1):
+    """Two-pass dq; n_sub > 1 runs the kv block as an unrolled issue-first
+    sub-chunk pipeline (see _fwd_kernel) — st AND dpt for sub-chunk i+1 are
+    issued before sub-chunk i's VPU phase (dpt depends only on v/do)."""
     nk = pl.num_programs(3)
     ki = pl.program_id(3)
 
@@ -480,21 +762,39 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, acc_ref
     dot = do_ref[0, 0]  # (D, BQ)
     lse = lse_ref[0, 0][0:1, :]  # (1, BQ)
     di = di_ref[0, 0][0:1, :]  # (1, BQ)
+    bk = kt.shape[1] // n_sub
 
     # base-2 recompute: p = exp(s - lse) = exp2(s·log2e - lse·log2e); the
     # row-wise lse rescale is BQ muls vs the BK·BQ muls exp would lower to.
     # q arrives pre-scaled by scale·log2e (see _flash_fwd); dst's *scale is
     # deferred to the (D, BQ) finalize — no full-logit-tile rescale passes
-    st = _dg(kt, qt, ((0,), (0,)))  # (BK, BQ)
-    if kv_len is not None:
-        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
-        st = jnp.where(row < kv_len, st, NEG_INF)
-    pt = jnp.exp2(st - lse * LOG2_E)  # (BK, BQ)
+    def _issue_st(i):
+        return _dg(kt[:, i * bk : (i + 1) * bk], qt, ((0,), (0,)))  # (BK, BQ)
 
-    dpt = _dg(vt, dot, ((0,), (0,)))  # (BK, BQ) — v·do over D sublanes
-    dst = (pt * (dpt - di)).astype(kt.dtype)  # (BK, BQ), unscaled
-    # dq^T (D, BQ) += k^T (D, BK) @ ds^T (BK, BQ) — contract BK
-    acc_ref[:] += _dg(kt, dst, ((1,), (0,)))
+    def _issue_dpt(i):
+        return _dg(vt[:, i * bk : (i + 1) * bk], dot, ((0,), (0,)))  # v·do over D
+
+    # n_sub == 1 keeps the original op order (dpt AFTER the exp2 pass, so st
+    # is dead before dpt lives — the monolithic 4096-block cell is VMEM-tight);
+    # sub-chunked cells issue st+dpt for chunk i+1 before chunk i's VPU phase
+    sub = [None] * n_sub
+    sub[0] = (_issue_st(0), _issue_dpt(0) if n_sub > 1 else None)
+    acc = acc_ref[:]
+    for i in range(n_sub):
+        if i + 1 < n_sub:
+            sub[i + 1] = (_issue_st(i + 1), _issue_dpt(i + 1))
+        st_i, dpt = sub[i]
+        sub[i] = None
+        if kv_len is not None:
+            row = jax.lax.broadcasted_iota(jnp.int32, st_i.shape, 0) + ki * n_sub * bk + i * bk
+            st_i = jnp.where(row < kv_len, st_i, NEG_INF)
+        pt = jnp.exp2(st_i - lse * LOG2_E)  # (BK, BQ)
+        if dpt is None:
+            dpt = _issue_dpt(i)
+        dst = (pt * (dpt - di)).astype(kt.dtype)  # (BK, BQ), unscaled
+        # dq^T (D, BQ) += k^T (D, BK) @ ds^T (BK, BQ) — contract BK
+        acc = acc + _dg(kt[:, i * bk : (i + 1) * bk], dst, ((1,), (0,)))
+    acc_ref[:] = acc
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -643,7 +943,10 @@ def _bwd_dkv_wide_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, d
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                    *, kv_len):
+                    *, kv_len, n_sub=1):
+    """Two-pass dk/dv; n_sub > 1 splits the KV block into an unrolled
+    issue-first sub-chunk pipeline (see _fwd_kernel) with per-sub-chunk
+    slices of the dk/dv accumulators."""
     nq = pl.num_programs(3)
     qi = pl.program_id(3)
     ki = pl.program_id(2)
@@ -659,19 +962,34 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
     dot = do_ref[0, 0]  # (D, BQ)
     lse = lse_ref[0, 0][0:1, :]  # (1, BQ)
     di = di_ref[0, 0][0:1, :]  # (1, BQ)
+    bk = kt.shape[1] // n_sub
 
-    st = _dg(kt, qt, ((0,), (0,)))  # (BK, BQ); q pre-scaled
-    pt = jnp.exp2(st - lse * LOG2_E)
-    if kv_len is not None:
-        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * st.shape[0]
-        pt = jnp.where(row < kv_len, pt, 0.0)
-
-    # dv^T (D, BK) += do^T (D, BQ) @ p (BQ, BK) — contract BQ (pt lanes)
-    dv_acc[:] += _dg(dot, pt.astype(dot.dtype), ((1,), (1,)))
-    dpt = _dg(vt, dot, ((0,), (0,)))  # (BK, BQ)
-    dst = (pt * (dpt - di)).astype(qt.dtype)  # (BK, BQ), unscaled
-    # dk^T (D, BK) += q^T (D, BQ) @ ds (BQ, BK) — contract BQ
-    dk_acc[:] += _dg(qt, dst, ((1,), (1,)))
+    # n_sub == 1 keeps the original op order (dpt after the dv update, when
+    # st/pt pressure has receded — the monolithic 4096-block cell compiles at
+    # the edge of scoped VMEM); sub-chunked cells issue dpt at the TOP of the
+    # consume phase so it overlaps the exp2 pass it is independent of.
+    st = [None] * n_sub
+    st[0] = _dg(kt[:, :bk], qt, ((0,), (0,)))  # (BK, BQ)
+    for i in range(n_sub):
+        if i + 1 < n_sub:
+            st[i + 1] = _dg(kt[:, (i + 1) * bk : (i + 2) * bk], qt, ((0,), (0,)))
+        st_i = st[i]
+        st[i] = None
+        dpt = None
+        if n_sub > 1:
+            dpt = _dg(vt[:, i * bk : (i + 1) * bk], dot, ((0,), (0,)))  # (BK, BQ)
+        pt = jnp.exp2(st_i - lse * LOG2_E)
+        if kv_len is not None:
+            row = jax.lax.broadcasted_iota(jnp.int32, st_i.shape, 0) + ki * n_sub * bk + i * bk
+            pt = jnp.where(row < kv_len, pt, 0.0)
+        sl = slice(i * bk, (i + 1) * bk)
+        # dv^T (D, BK) += do^T (D, BQ) @ p (BQ, BK) — contract BQ (pt lanes)
+        dv_acc[:, sl] += _dg(dot, pt.astype(dot.dtype), ((1,), (1,)))
+        if dpt is None:
+            dpt = _dg(vt[:, i * bk : (i + 1) * bk], dot, ((0,), (0,)))
+        dst = (pt * (dpt - di)).astype(qt.dtype)  # (BK, BQ), unscaled
+        # dk^T (D, BK) += q^T (D, BQ) @ ds (BQ, BK) — contract BQ
+        dk_acc[:, sl] += _dg(qt, dst, ((1,), (1,)))
 
     @pl.when(qi == nq - 1)
     def _finalize():
@@ -752,35 +1070,53 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
 
     bq_dq = min(block_q, 512) if sq % min(block_q, 512) == 0 else block_q
     chunk = _pick_chunk(d, skv, block_k)
+    scratch_dq = None
     if _CHUNKED and _chunked_feasible(
         d, bq_dq, skv, chunk, qt.dtype.itemsize, bwd=True,
         grid_cells=b * h * (sq // bq_dq),
     ):
+        pass  # unrolled chunked pipeline, no scratch
+    else:
+        chunk = _streamed_cfg(
+            d, bq_dq, skv, qt.dtype.itemsize, bwd=True,
+            grid_cells=b * h * (sq // bq_dq),
+        )
+        if chunk is not None:
+            scratch_dq = [
+                pltpu.VMEM((2, chunk, bq_dq), jnp.float32),  # st
+                pltpu.VMEM((2, chunk, bq_dq), jnp.float32),  # dpt
+            ]
+    if _CHUNKED and chunk is not None:
+        kern_dq = _bwd_dq_streamed_kernel if scratch_dq else _bwd_dq_chunked_kernel
         q_spec1 = pl.BlockSpec((1, 1, d, bq_dq), lambda bi, hi, qi: (bi, hi, 0, qi))
         kv_spec1 = pl.BlockSpec((1, 1, d, skv), lambda bi, hi, qi: (bi, hi, 0, 0))
         stat_spec1 = pl.BlockSpec((1, 1, _STAT_ROWS, bq_dq), lambda bi, hi, qi: (bi, hi, 0, qi))
         dq = pl.pallas_call(
             functools.partial(
-                _bwd_dq_chunked_kernel, n_chunks=skv // chunk, scale=scale, kv_len=kv_len
+                kern_dq, n_chunks=skv // chunk, scale=scale, kv_len=kv_len
             ),
             grid=(b, h, sq // bq_dq),
             in_specs=[q_spec1, kv_spec1, kv_spec1, q_spec1, stat_spec1, stat_spec1],
             out_specs=q_spec1,
             out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
+            scratch_shapes=scratch_dq or [],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel"),
             ),
             cost_estimate=_bwd_cost(b, h, sq, skv, d, 3),
         )(qt, kt, vt, dot, lse, di)
     else:
+        bk_tp, n_sub = _two_pass_cfg("dq", block_k, block_q)
         q_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi))
-        kv_spec = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, qi, ki: (bi, hi, 0, ki))
+        kv_spec = pl.BlockSpec((1, 1, d, bk_tp), lambda bi, hi, qi, ki: (bi, hi, 0, ki))
         stat_spec = pl.BlockSpec(
             (1, 1, _STAT_ROWS, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi)
         )
         dq = pl.pallas_call(
-            functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len),
-            grid=(b, h, sq // block_q, skv // block_k),
+            functools.partial(
+                _bwd_dq_kernel, scale=scale, kv_len=kv_len, n_sub=n_sub
+            ),
+            grid=(b, h, sq // block_q, skv // bk_tp),
             in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
             out_specs=q_spec,
             out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
@@ -798,22 +1134,46 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
     # cq over the whole-q row (`s_whole`=sq) — the whole-q q/do operands are
     # then the model's 2·d·s_whole resident term.
     cq = min(block_q, 512) if sq % min(block_q, 512) == 0 else block_q
+    bk_dkv = block_k
+    scratch_dkv = None
     if _CHUNKED and _chunked_feasible(
         d, block_k, sq, cq, qt.dtype.itemsize, bwd=True,
         grid_cells=b * h * (skv // block_k),
     ):
+        pass  # unrolled chunked pipeline, no scratch
+    else:
+        # streamed dkv: the 4 fp32 (BK, CQ) scratch tiles scale with the kv
+        # block, so shrink it below the table block_k until a q chunk fits
+        cq = None
+        for bk_c in (1024, 512, 256):
+            if bk_c > skv or skv % bk_c:
+                continue
+            cq = _streamed_cfg(
+                d, bk_c, sq, qt.dtype.itemsize, bwd=True, stats_whole=True,
+                grid_cells=b * h * (skv // bk_c),
+            )
+            if cq is not None:
+                bk_dkv = bk_c
+                scratch_dkv = [
+                    pltpu.VMEM((2, bk_c, cq), jnp.float32),  # st
+                    pltpu.VMEM((2, bk_c, cq), jnp.float32),  # dpt
+                ]
+                break
+    if _CHUNKED and cq is not None:
+        kern_dkv = _bwd_dkv_streamed_kernel if scratch_dkv else _bwd_dkv_chunked_kernel
         q_spec3 = pl.BlockSpec((1, 1, d, sq), lambda bi, hi, ki: (bi, hi, 0, 0))
-        kv_spec3 = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, ki: (bi, hi, 0, ki))
+        kv_spec3 = pl.BlockSpec((1, 1, d, bk_dkv), lambda bi, hi, ki: (bi, hi, 0, ki))
         stat_spec3 = pl.BlockSpec((1, 1, _STAT_ROWS, sq), lambda bi, hi, ki: (bi, hi, 0, 0))
         dk, dv = pl.pallas_call(
-            functools.partial(_bwd_dkv_chunked_kernel, n_chunks=sq // cq, kv_len=kv_len),
-            grid=(b, h, skv // block_k),
+            functools.partial(kern_dkv, n_chunks=sq // cq, kv_len=kv_len),
+            grid=(b, h, skv // bk_dkv),
             in_specs=[q_spec3, kv_spec3, kv_spec3, q_spec3, stat_spec3, stat_spec3],
             out_specs=(kv_spec3, kv_spec3),
             out_shape=(
                 jax.ShapeDtypeStruct(kt.shape, kt.dtype),
                 jax.ShapeDtypeStruct(vt.shape, vt.dtype),
             ),
+            scratch_shapes=scratch_dkv or [],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel"),
             ),
@@ -821,12 +1181,13 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
         )(qt, kt, vt, dot, lse, di)
         return dq, dk, dv
 
+    bk_tp2, n_sub2 = _two_pass_cfg("dkv", block_k, block_q)
     q_spec2 = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi))
-    kv_spec2 = pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, ki, qi: (bi, hi, 0, ki))
+    kv_spec2 = pl.BlockSpec((1, 1, d, bk_tp2), lambda bi, hi, ki, qi: (bi, hi, 0, ki))
     stat_spec2 = pl.BlockSpec((1, 1, _STAT_ROWS, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi))
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, kv_len=kv_len),
-        grid=(b, h, skv // block_k, sq // block_q),
+        functools.partial(_bwd_dkv_kernel, kv_len=kv_len, n_sub=n_sub2),
+        grid=(b, h, skv // bk_tp2, sq // block_q),
         in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, stat_spec2, stat_spec2],
         out_specs=(kv_spec2, kv_spec2),
         out_shape=(
@@ -834,8 +1195,8 @@ def _bwd(scale, block_q, block_k, kv_len, res, do):
             jax.ShapeDtypeStruct(vt.shape, vt.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((d, block_k), jnp.float32),
-            pltpu.VMEM((d, block_k), jnp.float32),
+            pltpu.VMEM((d, bk_tp2), jnp.float32),
+            pltpu.VMEM((d, bk_tp2), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),

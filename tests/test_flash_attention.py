@@ -187,6 +187,108 @@ def test_flash_onepass_table_mode(interpreted_flash):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
 
 
+def test_flash_streamed_long_rows(interpreted_flash, monkeypatch):
+    """STREAMED kernels (scratch-staged st/dpt double-buffers) take over when
+    the unrolled chunked pipeline is VMEM-infeasible — the 16k-token SD1.5
+    level-0 configuration, scaled down here by forcing chunked infeasible and
+    a small streamed chunk so all three kernels run multi-chunk through the
+    scratch path."""
+    from neurosis_tpu.ops.attention import _xla_attention
+
+    fa = interpreted_flash
+    monkeypatch.setattr(fa, "_chunked_feasible", lambda *a, **k: False)
+    monkeypatch.setattr(fa, "_streamed_cfg", lambda *a, **k: 128)
+    b, h, sq, skv, d = 1, 2, 512, 512, 40  # d=40: the sd15 head dim (pads to 48)
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, sq, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, skv, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, skv, d), jnp.float32)
+
+    ref = _xla_attention(q, k, v)
+    out = fa.flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6, rtol=1e-4)
+
+    g_ref = jax.grad(lambda *a: jnp.sum(_xla_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(lambda *a: jnp.sum(fa.flash_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
+
+
+def test_flash_streamed_kv_masking(interpreted_flash, monkeypatch):
+    """Streamed kernels with a kv tail (kv_len mask straddling a chunk)."""
+    from neurosis_tpu.ops.attention import _xla_attention
+
+    fa = interpreted_flash
+    monkeypatch.setattr(fa, "_chunked_feasible", lambda *a, **k: False)
+    monkeypatch.setattr(fa, "_streamed_cfg", lambda *a, **k: 128)
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 512, 64), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 300, 64), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 300, 64), jnp.float32)
+
+    ref = _xla_attention(q, k, v)
+    out = fa.flash_attention(q, k, v, block_q=256, block_k=512)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6, rtol=1e-4)
+
+    g_ref = jax.grad(lambda *a: jnp.sum(_xla_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(
+        lambda *a: jnp.sum(fa.flash_attention(*a, block_q=256, block_k=512) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_ in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
+
+
+def test_streamed_cfg_sd15_l0(monkeypatch):
+    """With the (default-off) streamed knob on, the real sd15-l0 shapes
+    (16k rows, d=48 padded) must resolve to a streamed chunk — chunked is
+    ruled out by the 20 MB cumulative cap there."""
+    import neurosis_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "_STREAMED", True)
+    assert not fa._chunked_feasible(48, 512, 16384, 4096, 2)
+    # fwd at the b4/h8 grid (1024 cells → 1.45x margin)
+    assert fa._streamed_cfg(48, 512, 16384, 2, grid_cells=1024) is not None
+    # bwd dq and dkv must also fit at SOME chunk
+    assert fa._streamed_cfg(48, 512, 16384, 2, bwd=True, grid_cells=1024) is not None
+    assert any(
+        fa._streamed_cfg(48, bk, 16384, 2, bwd=True, stats_whole=True, grid_cells=1024)
+        for bk in (1024, 512, 256)
+    )
+
+
+def test_flash_twopass_subchunked(interpreted_flash, monkeypatch):
+    """Sub-chunked two-pass kernels (n_sub > 1): the long-row fallback runs
+    each (BK, BQ) tile as an unrolled issue-first pipeline. Forced here by
+    ruling out chunked/streamed and using a kv-masked 2048-block shape so
+    every kernel runs n_sub == 2 with the mask straddling sub-chunks."""
+    from neurosis_tpu.ops.attention import _xla_attention
+
+    fa = interpreted_flash
+    monkeypatch.setattr(fa, "_chunked_feasible", lambda *a, **k: False)
+    monkeypatch.setattr(fa, "_STREAMED", False)
+    monkeypatch.setattr(fa, "_SUBCHUNK", True)
+    assert fa._two_pass_cfg("fwd", 2048, 512) == (2048, 2)
+    # the dkv cell at block 4096 × bq 512 busts the measured 16 MB stack cap
+    # (19.91 MB) — it halves the block to keep the sub-chunk pipeline
+    assert fa._two_pass_cfg("dkv", 4096, 512) == (2048, 2)
+    assert fa._two_pass_cfg("fwd", 4096, 512) == (4096, 4)
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 1024, 64), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2000, 64), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 2000, 64), jnp.float32)
+
+    ref = _xla_attention(q, k, v)
+    out = fa.flash_attention(q, k, v, block_q=512, block_k=2048)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6, rtol=1e-4)
+
+    g_ref = jax.grad(lambda *a: jnp.sum(_xla_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(
+        lambda *a: jnp.sum(fa.flash_attention(*a, block_q=512, block_k=2048) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_ in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
+
+
 def test_flash_twopass_fallback(interpreted_flash, monkeypatch):
     """With NEUROSIS_FLASH_CHUNKED off (or VMEM-infeasible shapes) the
     two-pass grid kernels run — they are no longer the default path, so this

@@ -655,6 +655,22 @@ def vae_train_bench() -> None:
     # alternating schedule: each batch takes ONE step (G or D), so sustained
     # throughput over a G+D pair is two batches per (g_dt + d_dt)
     imgs_per_sec = 2 * batch / (g_dt + d_dt)
+
+    # executed flops via cost_analysis (counts the scan body ONCE — NOTES.md),
+    # so per-step flops ≈ whole-program flops (scan of `iters` bodies)
+    def _step_gflops(fn, state):
+        try:
+            cost = fn.lower(state).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0)) / 1e9
+        except Exception:
+            return 0.0
+
+    g_gf = _step_gflops(g_n, state)
+    d_gf = _step_gflops(d_n, state)
+    peak = guess_peak(jax.devices()[0]) if on_tpu else 0
+    hw_util = ((g_gf + d_gf) * 1e9 / (g_dt + d_dt) / peak) if peak else 0.0
     print(
         json.dumps(
             {
@@ -667,6 +683,9 @@ def vae_train_bench() -> None:
                     "res": res,
                     "g_ms": round(g_dt * 1e3, 2),
                     "d_ms": round(d_dt * 1e3, 2),
+                    "g_gflops": round(g_gf, 1),
+                    "d_gflops": round(d_gf, 1),
+                    "hw_flops_util": round(hw_util, 4),
                     "g_total": float(np.asarray(tot_g)[-1]),
                     "d_total": float(np.asarray(tot_d)[-1]),
                 },

@@ -617,19 +617,29 @@ def vae_train_bench() -> None:
     state = engine.init(jax.random.PRNGKey(0), batch_d)
 
     iters = 10 if on_tpu else 2
+    # DISTINCT batch per scan iteration: with a constant batch, the D scan's
+    # reconstruction (frozen G params, frozen input) is loop-invariant and XLA
+    # hoists the whole decoder forward out of the loop — first measurement read
+    # an impossible 198 TF/s (100.4% of peak) on the D step. Real training sees
+    # a fresh batch every step, so the scan must too.
+    xs = jnp.asarray(
+        np.random.RandomState(1).randn(iters, batch, res, res, 3).astype(np.float32) * 0.5
+    )
 
     def scan_n(step_fn):
         @jax.jit
-        def run(state):
-            def body(s, _):
-                s2, log = step_fn(s, batch_d)
+        def run(state, xs):
+            def body(s, xi):
+                s2, log = step_fn(s, {"image": xi})
                 return s2, log["total"]
-            return jax.lax.scan(body, state, None, length=iters)
+            return jax.lax.scan(body, state, xs)
 
         return run
 
-    g_n = scan_n(engine.g_step)
-    d_n = scan_n(engine.d_step)
+    g_n_ = scan_n(engine.g_step)
+    d_n_ = scan_n(engine.d_step)
+    g_n = lambda s: g_n_(s, xs)  # noqa: E731
+    d_n = lambda s: d_n_(s, xs)  # noqa: E731
 
     # completion barrier: block_until_ready returns at DISPATCH through the
     # axon tunnel; only a host transfer proves execution finished (NOTES.md)
@@ -660,15 +670,15 @@ def vae_train_bench() -> None:
     # so per-step flops ≈ whole-program flops (scan of `iters` bodies)
     def _step_gflops(fn, state):
         try:
-            cost = fn.lower(state).compile().cost_analysis()
+            cost = fn.lower(state, xs).compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
             return float(cost.get("flops", 0.0)) / 1e9
         except Exception:
             return 0.0
 
-    g_gf = _step_gflops(g_n, state)
-    d_gf = _step_gflops(d_n, state)
+    g_gf = _step_gflops(g_n_, state)
+    d_gf = _step_gflops(d_n_, state)
     peak = guess_peak(jax.devices()[0]) if on_tpu else 0
     hw_util = ((g_gf + d_gf) * 1e9 / (g_dt + d_dt) / peak) if peak else 0.0
     print(

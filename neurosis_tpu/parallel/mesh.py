@@ -37,17 +37,29 @@ def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[
 def make_mesh(
     data: Optional[int] = None,
     fsdp: int = 1,
+    context: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Mesh of shape (data, fsdp). data=None → all remaining devices."""
+    """Mesh of shape (data, fsdp[, context]). data=None → all remaining devices.
+
+    context > 1 adds a third axis for ring-attention sequence parallelism
+    (ops/attention.py context_axis dispatch); batches stay sharded along
+    'data' only — the attention shard_map re-shards S over 'context' in-graph,
+    so the axis composes freely with data/fsdp. The axis is appended only when
+    used, keeping the 2-axis shape for existing (data, fsdp) consumers.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    context = int(context or 1)
     if data is None:
-        if n % fsdp:
-            raise ValueError(f"{n} devices not divisible by fsdp={fsdp}")
-        data = n // fsdp
-    if data * fsdp != n:
-        raise ValueError(f"mesh {data}x{fsdp} != {n} devices")
+        if n % (fsdp * context):
+            raise ValueError(f"{n} devices not divisible by fsdp={fsdp} x context={context}")
+        data = n // (fsdp * context)
+    if data * fsdp * context != n:
+        raise ValueError(f"mesh {data}x{fsdp}x{context} != {n} devices")
+    if context > 1:
+        arr = np.asarray(devices).reshape(data, fsdp, context)
+        return Mesh(arr, ("data", "fsdp", "context"))
     arr = np.asarray(devices).reshape(data, fsdp)
     return Mesh(arr, ("data", "fsdp"))
 

@@ -76,21 +76,23 @@ def _wandb_config(trainer_cfg: dict):
 
 
 def _mesh_args(trainer_cfg: dict):
-    """Lightning trainer.devices/strategy → (devices, fsdp) mesh axes (SURVEY
-    §2.8): `strategy: auto|ddp` = data-parallel over all devices; `strategy:
-    fsdp` additionally shards params/opt-state (fsdp axis = all devices unless
-    an explicit `fsdp:` size is given)."""
+    """Lightning trainer.devices/strategy → (devices, fsdp, context) mesh axes
+    (SURVEY §2.8): `strategy: auto|ddp` = data-parallel over all devices;
+    `strategy: fsdp` additionally shards params/opt-state (fsdp axis = all
+    devices unless an explicit `fsdp:` size is given); `context_parallel: N`
+    adds a ring-attention sequence axis (SURVEY §5.7, ops/ring_attention.py)."""
     devices = trainer_cfg.get("devices")
     strategy = str(trainer_cfg.get("strategy", "") or "")
     fsdp = int(trainer_cfg.get("fsdp", 0) or 0)
-    if strategy in ("auto", "ddp", "fsdp") and devices is None:
+    context = int(trainer_cfg.get("context_parallel", 1) or 1)
+    if (strategy in ("auto", "ddp", "fsdp") or context > 1) and devices is None:
         devices = "auto"
     if strategy == "fsdp" and fsdp == 0:
         import jax
 
         n = len(jax.devices()) if devices in ("auto", -1, None) else int(devices)
-        fsdp = n
-    return devices, max(fsdp, 1)
+        fsdp = max(n // context, 1)
+    return devices, max(fsdp, 1), context
 
 
 def _build(args):
@@ -192,7 +194,7 @@ def _build(args):
         if is_remote_url(mc.get("dirpath")):
             remote_ckpt_url = mc["dirpath"]
 
-    devices, fsdp = _mesh_args(trainer_cfg)
+    devices, fsdp, context_parallel = _mesh_args(trainer_cfg)
 
     trainer = Trainer(
         engine,
@@ -206,6 +208,7 @@ def _build(args):
         loss_hooks=getattr(engine, "loss_hooks", ()),
         devices=devices,
         fsdp=fsdp,
+        context_parallel=context_parallel,
         wandb_config=_wandb_config(trainer_cfg),
         remote_checkpoint_url=trainer_cfg.get("remote_checkpoint_url") or remote_ckpt_url,
         allow_random_weights=trainer_cfg.get("allow_random_weights", False),

@@ -133,6 +133,7 @@ class Trainer:
         debug_nans: bool = False,
         devices: Any = None,
         fsdp: int = 1,
+        context_parallel: int = 1,
         wandb_config: Optional[dict] = None,
         remote_checkpoint_url: Optional[str] = None,
         allow_random_weights: bool = False,
@@ -159,7 +160,15 @@ class Trainer:
         # distribution: Lightning `devices:`/`strategy:` → a (data, fsdp) mesh
         self.devices = devices
         self.fsdp = int(fsdp or 1)
+        self.context_parallel = int(context_parallel or 1)
         self.mesh = None  # built lazily in fit()
+        if self.context_parallel > 1:
+            # sequence parallelism: rewire the engine's UNet so its
+            # self-attention rides the mesh's 'context' axis (ring attention,
+            # ops/attention.py). clone() because Flax modules are frozen.
+            model = getattr(self.engine, "model", None)
+            if model is not None and hasattr(model, "context_axis") and model.context_axis is None:
+                self.engine.model = model.clone(context_axis="context")
         self.remote_checkpoint_url = remote_checkpoint_url
         # validate/predict on never-loaded params is meaningless; require an
         # explicit opt-in (fast_dev_run implies it)
@@ -173,20 +182,29 @@ class Trainer:
     # -- mesh / sharding ----------------------------------------------------
 
     def _build_mesh(self):
-        """Build the (data, fsdp) mesh when devices/fsdp ask for >1 device."""
+        """Build the (data, fsdp[, context]) mesh when devices/fsdp/context
+        ask for >1 device."""
+        model_par = self.fsdp * self.context_parallel
         if self.devices in ("auto", -1):
             n = len(jax.devices())
         elif self.devices is None:
-            n = len(jax.devices()) if self.fsdp > 1 else 1
+            n = len(jax.devices()) if model_par > 1 else 1
         else:
             n = int(self.devices)
-        if n <= 1 and self.fsdp <= 1:
+        if n <= 1 and model_par <= 1:
             return None
-        if n % self.fsdp:
-            raise ValueError(f"devices={n} not divisible by fsdp={self.fsdp}")
+        if n % model_par:
+            raise ValueError(
+                f"devices={n} not divisible by fsdp={self.fsdp} x context={self.context_parallel}"
+            )
         from neurosis_tpu.parallel import make_mesh
 
-        return make_mesh(data=n // self.fsdp, fsdp=self.fsdp, devices=jax.devices()[:n])
+        return make_mesh(
+            data=n // model_par,
+            fsdp=self.fsdp,
+            context=self.context_parallel,
+            devices=jax.devices()[:n],
+        )
 
     def _shard(self, tree):
         """Shard a state/param pytree onto the mesh (no-op single device)."""

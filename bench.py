@@ -585,6 +585,9 @@ def vae_train_bench() -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     batch, res = (8, 256) if on_tpu else (1, 32)
+    res = int(os.environ.get("NEUROSIS_BENCH_RES", res))
+    if on_tpu and res >= 512:
+        batch = 2  # 512px quadruples activation memory; b2 fits HBM
     batch = int(os.environ.get("NEUROSIS_BENCH_BATCH", batch))
     dd = dict(
         ch=128 if on_tpu else 32,

@@ -58,6 +58,39 @@ def _eval(expr, env):
     return bool(eval(expr, {"os": _FakeOs}))  # noqa: S307 - our own source
 
 
+# knobs the package reads internally that are NOT a user surface
+_INTERNAL = {"NEUROSIS_WORKER"}  # set by prefetch.py for its own spawned workers
+
+
+def _doc_knob_names():
+    return set(re.findall(r"`(NEUROSIS_[A-Z0-9_]+)`", DOC.read_text()))
+
+
+def _code_knob_names():
+    """Every NEUROSIS_* env var read anywhere in the package, bench, or tools."""
+    knobs = set()
+    roots = [SRC, REPO / "tools", REPO / "bench.py", REPO / "__graft_entry__.py"]
+    for root in roots:
+        paths = root.rglob("*.py") if root.is_dir() else [root]
+        for path in paths:
+            for m in re.finditer(r'environ(?:\.get)?\[?\(?"(NEUROSIS_[A-Z0-9_]+)"', path.read_text()):
+                knobs.add(m.group(1))
+    return knobs
+
+
+def test_every_code_knob_is_documented():
+    """VERDICT r4 #7: the full inventory, not just one table's booleans —
+    every NEUROSIS_* env read in the package must have a docs/knobs.md row."""
+    undocumented = _code_knob_names() - _doc_knob_names() - _INTERNAL
+    assert not undocumented, f"knobs read in code but missing from docs/knobs.md: {sorted(undocumented)}"
+
+
+def test_every_documented_knob_exists_in_code():
+    """The reverse direction: a documented knob nothing reads is a stale row."""
+    stale = _doc_knob_names() - _code_knob_names()
+    assert not stale, f"knobs documented in docs/knobs.md but never read: {sorted(stale)}"
+
+
 def test_kernel_knob_defaults_match_docs():
     checked = 0
     for knob, doc_default in _doc_defaults().items():

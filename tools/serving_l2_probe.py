@@ -75,7 +75,8 @@ if __name__ == "__main__":
     for batch in (8, 2):
         print(f"l2 self-attn (b={batch} h=20 S=1024 d=64), fwd-only:", flush=True)
         for label, env in CONFIGS:
-            e = dict(os.environ, **{k: v for k, v in env.items() if k != "IMPL"})
+            base = {k: v for k, v in os.environ.items() if not k.startswith("NEUROSIS_FLASH_")}
+            e = dict(base, **{k: v for k, v in env.items() if k != "IMPL"})
             impl = env.get("IMPL", "flash")
             r = subprocess.run(
                 [sys.executable, __file__, "one", impl, str(batch)],

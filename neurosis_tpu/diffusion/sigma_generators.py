@@ -56,7 +56,18 @@ class EDMSigmaGenerator(SigmaGenerator):
 
 
 class DiscreteSigmaGenerator(SigmaGenerator):
-    """Uniform index into a discretization's sigma table."""
+    """Uniform index into a discretization's sigma table.
+
+    ``exclude_zero`` (default True, a documented deviation): the reference
+    fork defaults ``do_append_zero=True`` (sigma_generators.py:43; upstream
+    sgm uses False) and its ``Discretization.__call__`` honors only the
+    constructor flag, so the flipped table is ``[0, sigma_min..sigma_max]``
+    of length num_idx+1 and ``randint(0, num_idx)`` draws sigma=0 with
+    p=1/num_idx. Under eps weighting (sigma^-2, denoiser_weighting.py) a
+    sigma=0 draw evaluates 0*inf = NaN loss — a landmine we reproduced at
+    step 196 of a 200-step seed-0 run. exclude_zero drops that leading zero,
+    restoring upstream-sgm training semantics (all num_idx real sigmas
+    drawable); set False for exact reference-fork behavior."""
 
     def __init__(
         self,
@@ -64,9 +75,12 @@ class DiscreteSigmaGenerator(SigmaGenerator):
         num_idx: int = 1000,
         do_append_zero: bool = True,
         flip: bool = True,
+        exclude_zero: bool = True,
     ):
         self.num_idx = num_idx
         self.sigmas = discretization(num_idx, do_append_zero=do_append_zero, flip=flip)
+        if exclude_zero and self.sigmas.shape[0] > num_idx and float(self.sigmas[0]) == 0.0:
+            self.sigmas = self.sigmas[1:]
 
     def idx_to_sigma(self, idx: Array) -> Array:
         return self.sigmas[idx]

@@ -152,6 +152,30 @@ def test_discrete_sigma_generator_uniform_indices():
     np.testing.assert_allclose(sig, table[idx], rtol=1e-6)
 
 
+def test_discrete_sigma_generator_excludes_zero_by_default():
+    """The reference fork's default table is [0, sigma_min..sigma_max] with
+    sigma=0 drawable at p=1/num_idx — 0*inf = NaN under eps weighting
+    (reference sigma_generators.py:43 + denoiser_weighting.py Eps). Our
+    default drops the zero (upstream-sgm training semantics); the
+    reference-fork layout stays available with exclude_zero=False."""
+    gen = ntd.DiscreteSigmaGenerator(ntd.LegacyDDPMDiscretization(), num_idx=1000)
+    table = np.asarray(gen.sigmas)
+    assert table.shape == (1000,)
+    assert table.min() > 0.0
+    assert table[0] == table.min() and table[-1] == table.max()
+
+    quirk = ntd.DiscreteSigmaGenerator(
+        ntd.LegacyDDPMDiscretization(), num_idx=1000, exclude_zero=False
+    )
+    qtable = np.asarray(quirk.sigmas)
+    assert qtable.shape == (1001,)
+    assert qtable[0] == 0.0
+    np.testing.assert_allclose(qtable[1:], table, rtol=0)
+    # eps weighting at the zero draw is the NaN: w = sigma^-2, mse = 0 exactly
+    w = np.asarray(ntd.EpsWeighting()(np.asarray([0.0], np.float32)))
+    assert np.isinf(w)[0]
+
+
 def test_discrete_denoiser_quantization():
     disc = ntd.LegacyDDPMDiscretization()
     den = ntd.DiscreteDenoiser(ntd.EpsPreconditioning(), 1000, disc)

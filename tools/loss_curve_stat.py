@@ -55,10 +55,16 @@ DATA_SEED = 123  # the shared data stream; --seed varies only sigma/noise draws
 
 def ddpm_sigmas(num_steps: int = 1000) -> np.ndarray:
     """LegacyDDPM sigma table — golden vs the reference discretization
-    (tests/test_diffusion_math.py)."""
+    (tests/test_diffusion_math.py).
+
+    do_append_zero=False (upstream-sgm training semantics): the reference
+    fork's default appends sigma=0 at drawable index 0, which under eps
+    weighting (sigma^-2) produced 0*inf = NaN at step 196 of the seed-0 run
+    (see DiscreteSigmaGenerator.exclude_zero). The table here is the
+    1000-entry [sigma_min..sigma_max] both frameworks index uniformly."""
     from neurosis_tpu.diffusion import LegacyDDPMDiscretization
 
-    return np.asarray(LegacyDDPMDiscretization()(num_steps, flip=True), np.float64)
+    return np.asarray(LegacyDDPMDiscretization(do_append_zero=False)(num_steps, flip=True), np.float64)
 
 
 def data_stream(steps: int):

@@ -114,6 +114,13 @@ _STREAMED = os.environ.get("NEUROSIS_FLASH_STREAMED", "0") != "0"
 # win back). Kept as an A/B escape hatch with the VMEM model calibrated
 # against the measured 19.91 MB dkv overrun.
 _SUBCHUNK = os.environ.get("NEUROSIS_FLASH_SUBCHUNK", "0") != "0"
+# Head-group candidates for the wide-row kernels, largest first. Must divide
+# h to be used; non-power-of-2 divisors matter for h=20 (SDXL level-2: hg=5
+# would give 4 cells/batch-elem instead of 5 on an overhead-bound path) —
+# sweepable via the env list before changing the default.
+_WIDE_HG = tuple(
+    int(x) for x in os.environ.get("NEUROSIS_FLASH_WIDE_HG", "8,4,2,1").split(",")
+)
 
 
 def _two_pass_cfg(kind: str, block: int, bq: int) -> tuple:
@@ -626,7 +633,7 @@ def _wide_cfg(b: int, h: int, d: int, sq: int, skv: int, bwd: bool = False):
     use_scale = 1.3 if bwd else 1.0
     # largest head group that meets the work cap AND the VMEM budget (retry
     # smaller groups rather than falling back to the per-q-block grid)
-    for hg in (8, 4, 2, 1):
+    for hg in _WIDE_HG:
         if h % hg or hg * sq > 8192:
             continue
         if hg * n_cq < 2:

@@ -109,6 +109,30 @@ def test_flash_wide_self_optin(interpreted_flash, monkeypatch):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
 
 
+def test_flash_wide_hg5_numerics(interpreted_flash, monkeypatch):
+    """NEUROSIS_FLASH_WIDE_HG with a non-power-of-2 divisor (hg=5 for h=20
+    heads, the SDXL level-2 grid): fwd + grads vs the XLA oracle."""
+    from neurosis_tpu.ops.attention import _xla_attention
+
+    fa = interpreted_flash
+    monkeypatch.setattr(fa, "_WIDE_SELF", True)
+    monkeypatch.setattr(fa, "_WIDE_HG", (8, 5, 4, 2, 1))
+    b, h, s, d = 1, 20, 512, 64
+    cfg = fa._wide_cfg(b, h, d, s, s)
+    assert cfg is not None and cfg[0] == 5, cfg
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), jnp.float32)
+
+    ref = _xla_attention(q, k, v)
+    out = fa.flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6, rtol=1e-4)
+    g_ref = jax.grad(lambda *a: jnp.sum(_xla_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(lambda *a: jnp.sum(fa.flash_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=2e-5, rtol=1e-3)
+
+
 def test_wide_cfg_hg_retry(monkeypatch):
     """_wide_cfg retries smaller head groups when the largest one busts the
     VMEM budget (d=160 self-attn bwd: hg=8 needs ~23 MB) instead of

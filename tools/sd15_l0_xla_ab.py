@@ -72,9 +72,11 @@ def bench(attn, b, label):
         return None
     flops = 7 * 2 * b * H * S * S * D  # 2 fwd + 5 bwd matmul passes at real d
     tf = flops / dt / 1e12
-    print(f"  {label} b={b}: {dt*1e3:.1f} ms  {tf:.1f} TF/s  ({tf/b:.2f} TF/s per batch-elem)",
+    # ms per batch element is the cross-batch comparable number (impls cap out
+    # at different feasible batches); lower is better
+    print(f"  {label} b={b}: {dt*1e3:.1f} ms  {tf:.1f} TF/s  ({dt*1e3/b:.1f} ms/batch-elem)",
           flush=True)
-    return tf / b
+    return dt / b
 
 
 if __name__ == "__main__":

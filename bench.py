@@ -586,8 +586,13 @@ def vae_train_bench() -> None:
     on_tpu = jax.default_backend() == "tpu"
     batch, res = (8, 256) if on_tpu else (1, 32)
     res = int(os.environ.get("NEUROSIS_BENCH_RES", res))
+    remat = False
     if on_tpu and res >= 512:
-        batch = 2  # 512px quadruples activation memory; b2 fits HBM
+        # 512px quadruples activation memory: b2 without remat measured OOM
+        # (16.04G/15.75G HBM, fp32 GroupNorm temporaries in the G step bwd)
+        # and b1 without remat runs chip-starved (29.4% hw-util). Remat the
+        # ResnetBlocks and keep batch up instead.
+        batch, remat = 2, True
     batch = int(os.environ.get("NEUROSIS_BENCH_BATCH", batch))
     dd = dict(
         ch=128 if on_tpu else 32,
@@ -600,8 +605,8 @@ def vae_train_bench() -> None:
     )
     dtype = jnp.bfloat16 if on_tpu else None
     engine = AutoencodingEngine(
-        encoder=Encoder(**dd, double_z=True, in_channels=3, dtype=dtype),
-        decoder=Decoder(**dd, out_ch=3, dtype=dtype),
+        encoder=Encoder(**dd, double_z=True, in_channels=3, dtype=dtype, remat=remat),
+        decoder=Decoder(**dd, out_ch=3, dtype=dtype, remat=remat),
         loss=AutoencoderLPIPSWithDiscr(
             lpips_type="vgg", disc_start=1, disc_n_layers=3 if on_tpu else 1
         ),

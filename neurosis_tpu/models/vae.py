@@ -199,19 +199,24 @@ class Encoder(nn.Module):
     resamp_with_conv: bool = True
     attn_type: str = "vanilla"
     dtype: Optional[Dtype] = None
+    # rematerialize each ResnetBlock in the backward pass (the torch side's
+    # gradient checkpointing analog) — trades ~10% recompute for activation
+    # memory; lets the 512px VAE-GAN G step fit larger batches in HBM
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         num_res = len(self.ch_mult)
         in_ch_mult = (1,) + tuple(self.ch_mult)
         curr_res = self.resolution
+        block_cls = nn.remat(ResnetBlock, static_argnums=(2,)) if self.remat else ResnetBlock
 
         h = Conv2d(self.ch, 3, dtype=self.dtype, name="conv_in")(x)
         for i_level in range(num_res):
             block_in = self.ch * in_ch_mult[i_level]
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks):
-                h = ResnetBlock(
+                h = block_cls(
                     in_channels=block_in,
                     out_channels=block_out,
                     dropout=self.dropout,
@@ -225,9 +230,9 @@ class Encoder(nn.Module):
                 h = Downsample(block_in, self.resamp_with_conv, dtype=self.dtype, name=f"down.{i_level}.downsample")(h)
                 curr_res //= 2
 
-        h = ResnetBlock(block_in, block_in, dropout=self.dropout, dtype=self.dtype, name="mid.block_1")(h, deterministic)
+        h = block_cls(block_in, block_in, dropout=self.dropout, dtype=self.dtype, name="mid.block_1")(h, deterministic)
         h = make_attn(block_in, self.attn_type, dtype=self.dtype, name="mid.attn_1")(h)
-        h = ResnetBlock(block_in, block_in, dropout=self.dropout, dtype=self.dtype, name="mid.block_2")(h, deterministic)
+        h = block_cls(block_in, block_in, dropout=self.dropout, dtype=self.dtype, name="mid.block_2")(h, deterministic)
 
         h = GroupNorm32(32, epsilon=1e-6, name="norm_out")(h)
         h = nn.silu(h)
@@ -251,22 +256,24 @@ class Decoder(nn.Module):
     resamp_with_conv: bool = True
     attn_type: str = "vanilla"
     dtype: Optional[Dtype] = None
+    remat: bool = False  # see Encoder.remat
 
     @nn.compact
     def __call__(self, z: jax.Array, deterministic: bool = True) -> jax.Array:
         num_res = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[num_res - 1]
         curr_res = self.resolution // 2 ** (num_res - 1)
+        block_cls = nn.remat(ResnetBlock, static_argnums=(2,)) if self.remat else ResnetBlock
 
         h = Conv2d(block_in, 3, dtype=self.dtype, name="conv_in")(z)
-        h = ResnetBlock(block_in, block_in, dropout=self.dropout, dtype=self.dtype, name="mid.block_1")(h, deterministic)
+        h = block_cls(block_in, block_in, dropout=self.dropout, dtype=self.dtype, name="mid.block_1")(h, deterministic)
         h = make_attn(block_in, self.attn_type, dtype=self.dtype, name="mid.attn_1")(h)
-        h = ResnetBlock(block_in, block_in, dropout=self.dropout, dtype=self.dtype, name="mid.block_2")(h, deterministic)
+        h = block_cls(block_in, block_in, dropout=self.dropout, dtype=self.dtype, name="mid.block_2")(h, deterministic)
 
         for i_level in reversed(range(num_res)):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
-                h = ResnetBlock(
+                h = block_cls(
                     in_channels=block_in,
                     out_channels=block_out,
                     dropout=self.dropout,

@@ -102,3 +102,43 @@ def test_decoder_parity():
 
     out = jax.jit(dec.apply)({"params": params}, zj)
     np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref_out, atol=2e-4, rtol=2e-3)
+
+
+def test_remat_flag_preserves_params_and_outputs():
+    """Encoder/Decoder remat=True (bwd-pass ResnetBlock rematerialization for
+    the 512px VAE-GAN HBM budget) must not change the param tree or numerics."""
+    import jax
+
+    dd = dict(ch=32, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[], resolution=32, z_channels=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3), jnp.float32)
+
+    enc = Encoder(**dd, double_z=True, in_channels=3)
+    enc_r = Encoder(**dd, double_z=True, in_channels=3, remat=True)
+    p = enc.init(jax.random.PRNGKey(0), x)["params"]
+    p_r = enc_r.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p_r)
+    np.testing.assert_allclose(
+        np.asarray(enc.apply({"params": p}, x)),
+        np.asarray(enc_r.apply({"params": p}, x)),
+        atol=1e-6,
+    )
+    # grads flow through the remat blocks and match
+    def loss(mod):
+        return lambda prm: jnp.sum(mod.apply({"params": prm}, x) ** 2)
+
+    g = jax.grad(loss(enc))(p)
+    g_r = jax.grad(loss(enc_r))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+    z = jnp.asarray(np.random.RandomState(1).randn(1, 16, 16, 2), jnp.float32)
+    dec = Decoder(**dd, out_ch=3)
+    dec_r = Decoder(**dd, out_ch=3, remat=True)
+    pd = dec.init(jax.random.PRNGKey(0), z)["params"]
+    pd_r = dec_r.init(jax.random.PRNGKey(0), z)["params"]
+    assert jax.tree_util.tree_structure(pd) == jax.tree_util.tree_structure(pd_r)
+    np.testing.assert_allclose(
+        np.asarray(dec.apply({"params": pd}, z)),
+        np.asarray(dec_r.apply({"params": pd}, z)),
+        atol=1e-6,
+    )

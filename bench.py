@@ -586,14 +586,16 @@ def vae_train_bench() -> None:
     on_tpu = jax.default_backend() == "tpu"
     batch, res = (8, 256) if on_tpu else (1, 32)
     res = int(os.environ.get("NEUROSIS_BENCH_RES", res))
-    remat = False
     if on_tpu and res >= 512:
-        # 512px quadruples activation memory: b2 without remat measured OOM
-        # (16.04G/15.75G HBM, fp32 GroupNorm temporaries in the G step bwd)
-        # and b1 without remat runs chip-starved (29.4% hw-util). Remat the
-        # ResnetBlocks and keep batch up instead.
-        batch, remat = 2, True
+        # 512px quadruples activation memory: b2 without remat OOMs HBM by
+        # 299 MB (fp32 GroupNorm temporaries in the G step bwd), and the G
+        # step is flops-bound at ~50 TF/s here, so b2+remat (6.01 imgs/s)
+        # LOSES to b1 without remat (7.44 imgs/s) — recompute costs more
+        # than batch amortization buys. Default b1; forced batch >= 2 gets
+        # remat for HBM feasibility.
+        batch = 1
     batch = int(os.environ.get("NEUROSIS_BENCH_BATCH", batch))
+    remat = bool(on_tpu and res >= 512 and batch >= 2)
     dd = dict(
         ch=128 if on_tpu else 32,
         ch_mult=[1, 2, 4, 4] if on_tpu else [1, 2],

@@ -422,6 +422,24 @@ def pipeline_bench() -> None:
         _ = ds.get_batch(idx[0])
         per_core = batch / (_time.perf_counter() - t0)
 
+        # config-level uint8 collate A/B (image_dtype="uint8", the int8 input
+        # path): same decode + bucket, but no host float conversion and 4x
+        # smaller collate buffers — quotes the host-side half of the uint8 win
+        # (the transfer-inclusive half is NEUROSIS_BENCH_MODE=vae INPUT=ab)
+        ds_u8 = ImageFolderDataset(
+            folder=tmp, buckets=SDXLBucketList(), batch_size=batch, image_dtype="uint8"
+        )
+        probe = idx[: max(4, len(idx) // 4)]
+        t0 = _time.perf_counter()
+        for i in probe:
+            b = ds_u8.get_batch(i)
+        u8_rate = batch * len(probe) / (_time.perf_counter() - t0)
+        assert b["image"].dtype == np.uint8
+        t0 = _time.perf_counter()
+        for i in probe:
+            _ = ds.get_batch(i)
+        f32_rate = batch * len(probe) / (_time.perf_counter() - t0)
+
         n = 0
         start = None
         if workers > 1:
@@ -455,6 +473,9 @@ def pipeline_bench() -> None:
                     "per_core_imgs_per_sec": round(per_core, 2),
                     # projected rate on a 16-core pod host (linear in workers)
                     "projected_16core": round(per_core * 16, 1),
+                    # config-level image_dtype="uint8" collate vs f32 (host side)
+                    "collate_imgs_per_sec_uint8": round(u8_rate, 2),
+                    "collate_imgs_per_sec_f32": round(f32_rate, 2),
                 },
             }
         )

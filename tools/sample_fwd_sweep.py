@@ -7,6 +7,11 @@ sweeps (bq, bk) candidates fwd-only at the exact CFG grids the sample bench
 dispatches, scan-amortized and hoist-proofed (carry-perturbed q).
 
 Usage: python tools/sample_fwd_sweep.py [shape-label ...]
+
+CONCLUSION (round 5, NOTES.md "Serving-path ... CONCLUDED"): the only real
+fwd-only block effect is l1 bk 1024->2048 at CFG-b8 (+4.8% kernel-level on a
+~14% step slice ~= +0.7% step — below the +-2.4% drift band), and it INVERTS
+at CFG-b2 (the table wins by 15%). No fwd-only table lands; recorded null.
 """
 
 import os

@@ -9,6 +9,11 @@ because the family knobs are read at import.
 
 Usage: python tools/serving_l2_probe.py            # driver, prints table
        python tools/serving_l2_probe.py one <impl> <batch>   # worker
+
+CONCLUSION (round 5, NOTES.md "Serving-path ... CONCLUDED"): b8 default 40.3,
+wide_self=0 41.6, two-pass 37.3, XLA 16.8 TF/s — families within +-5%, XLA
+2.4x slower; b2 rows are per-call-overhead-bound (~0.65 ms floor). No
+fwd-only dispatch lands; the l2 shape is overhead-bound, not kernel-bound.
 """
 
 import os

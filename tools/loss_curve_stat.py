@@ -57,14 +57,15 @@ def ddpm_sigmas(num_steps: int = 1000) -> np.ndarray:
     """LegacyDDPM sigma table — golden vs the reference discretization
     (tests/test_diffusion_math.py).
 
-    do_append_zero=False (upstream-sgm training semantics): the reference
-    fork's default appends sigma=0 at drawable index 0, which under eps
-    weighting (sigma^-2) produced 0*inf = NaN at step 196 of the seed-0 run
-    (see DiscreteSigmaGenerator.exclude_zero). The table here is the
-    1000-entry [sigma_min..sigma_max] both frameworks index uniformly."""
-    from neurosis_tpu.diffusion import LegacyDDPMDiscretization
+    Uses the production DiscreteSigmaGenerator table (exclude_zero=True,
+    upstream-sgm training semantics): the reference fork's default layout
+    puts sigma=0 at drawable index 0, which under eps weighting (sigma^-2)
+    produced 0*inf = NaN at step 196 of the seed-0 run. The table here is
+    the 1000-entry [sigma_min..sigma_max] both frameworks index uniformly."""
+    from neurosis_tpu.diffusion import DiscreteSigmaGenerator, LegacyDDPMDiscretization
 
-    return np.asarray(LegacyDDPMDiscretization(do_append_zero=False)(num_steps, flip=True), np.float64)
+    gen = DiscreteSigmaGenerator(LegacyDDPMDiscretization(), num_idx=num_steps)
+    return np.asarray(gen.sigmas, np.float64)
 
 
 def data_stream(steps: int):
@@ -240,6 +241,17 @@ def main():
 
     if args.analyze:
         return analyze(args.analyze)
+
+    if args.side == "torch":
+        # the torch side touches jax only for the shared sigma table; keep it
+        # off the TPU so it can run concurrently with the jax side (the axon
+        # plugin ignores the JAX_PLATFORMS env var — force via config)
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     losses = (run_torch if args.side == "torch" else lambda s, sd: run_jax(s, sd, args.dtype))(
         args.steps, args.seed

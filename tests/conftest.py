@@ -26,3 +26,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 @pytest.fixture(scope="session")
 def rng_key():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _smoke_root(tmp_path_factory):
+    """Point the smoke configs' default_root_dir at a temp dir so suite runs
+    never append to tracked files under projects/."""
+    os.environ.setdefault("NEUROSIS_SMOKE_ROOT", str(tmp_path_factory.mktemp("smoke_root")))

@@ -77,6 +77,15 @@ class GroupNorm32(nn.Module):
             a = scale[None, :] * rstd_c
             b = bias[None, :] - mean_c * a
             return a, b
+        if gn_custom_vjp_enabled() and x.ndim == 4:
+            # memory-efficient custom VJP: identical fp32 math, but the
+            # backward saves bf16 x + tiny (B,G) stats instead of the fp32
+            # normalized copy plain autodiff materializes (ops/groupnorm.py).
+            # Param leaves live at the same tree path as nn.GroupNorm.
+            from neurosis_tpu.ops.groupnorm import group_norm
+
+            scale, bias = _GNAffineParams(x.shape[-1], name="GroupNorm_0")()
+            return group_norm(x, scale, bias, self.num_groups, self.epsilon)
         orig_dtype = x.dtype
         x = x.astype(jnp.float32)
         # NOTE (measured, round 2): a layout-friendly channel-moment rewrite
@@ -105,6 +114,16 @@ class _GNAffineParams(nn.Module):
         scale = self.param("scale", nn.initializers.ones_init(), (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
         return scale, bias
+
+
+def gn_custom_vjp_enabled() -> bool:
+    """NEUROSIS_GN_VJP=1 routes GroupNorm32 through the memory-efficient
+    custom-VJP implementation (ops/groupnorm.py). Default OFF until the
+    step-level A/B lands (candidate fix for the 512px VAE fp32-temporary
+    fragmentation, BASELINE.md vae_train section)."""
+    import os
+
+    return os.environ.get("NEUROSIS_GN_VJP", "0").lower() in ("1", "true")
 
 
 def conv_compute_dtype(module_dtype, x_dtype):

@@ -617,6 +617,11 @@ def vae_train_bench() -> None:
         batch = 1
     batch = int(os.environ.get("NEUROSIS_BENCH_BATCH", batch))
     remat = bool(on_tpu and res >= 512 and batch >= 2)
+    # A/B override (e.g. b2 WITHOUT remat once NEUROSIS_GN_VJP removes the
+    # fp32 GroupNorm temporaries that made that config OOM)
+    remat_env = os.environ.get("NEUROSIS_BENCH_VAE_REMAT")
+    if remat_env is not None:
+        remat = remat_env not in ("0", "false")
     dd = dict(
         ch=128 if on_tpu else 32,
         ch_mult=[1, 2, 4, 4] if on_tpu else [1, 2],
